@@ -1,0 +1,407 @@
+"""De Bruijn graph semantics over the reversible 2-bit hash.
+
+The graph is implicit (reference: include/oxli/hashgraph.hh): a node is a
+canonical k-mer present in the sketch; edges are probed by constructing
+the 4 left / 4 right neighbors via 2-bit shifts and testing membership.
+Neighbor probes run batched on device; traversal frontiers are
+orchestrated host-side with numpy.
+
+Key semantics mirrored:
+- tagging every _tag_density-th k-mer while consuming
+  (Hashgraph::consume_sequence_and_tag, src/oxli/hashgraph.cc:200-271)
+- neighbor bit-ops (hashgraph.hh:67-71)
+- BFS traversal caps (MAX_KEEPER_SIZE etc., hashgraph.hh:65)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from khmer_tpu.core import sketch_kernels as K
+from khmer_tpu.ops import hashing as H
+
+DEFAULT_TAG_DENSITY = 40   # reference: include/oxli/oxli.hh:83
+MAX_KEEPER_SIZE = int(1e6)  # reference: include/oxli/hashgraph.hh:65
+
+
+@functools.lru_cache(maxsize=None)
+def make_neighbors_fn(kind, primes, k):
+    """Batch 8-neighbor probe.
+
+    fn(tables, f[N], r[N]) ->
+       (nf [N,8], nr [N,8], ncanon [N,8], present [N,8])
+    Neighbors 0-3 extend right with base b, 4-7 extend left with base b.
+    """
+    primes = tuple(int(p) for p in primes)
+    bitmask = (1 << (2 * k)) - 1
+    shift = 2 * k - 2
+
+    @jax.jit
+    def fn(tables, f, r):
+        f = f[:, None]
+        r = r[:, None]
+        b = jnp.arange(4, dtype=jnp.uint64)[None, :]
+        comp_b = b ^ np.uint64(1)
+        # right neighbors (hashgraph.hh next_f/next_r)
+        rf = ((f << np.uint64(2)) | b) & np.uint64(bitmask)
+        rr = (r >> np.uint64(2)) | (comp_b << np.uint64(shift))
+        # left neighbors (prev_f/prev_r)
+        lf = (f >> np.uint64(2)) | (b << np.uint64(shift))
+        lr = ((r << np.uint64(2)) | comp_b) & np.uint64(bitmask)
+        nf = jnp.concatenate([rf, lf], axis=1)
+        nr = jnp.concatenate([rr, lr], axis=1)
+        ncanon = jnp.minimum(nf, nr)
+        present = K._gather_counts(kind, primes, tables, ncanon) > 0
+        return nf, nr, ncanon, present
+
+    return fn
+
+
+class HashgraphMixin:
+    """Graph operations mixed into Countgraph / SmallCountgraph /
+    Nodegraph."""
+
+    def _init_graph(self):
+        self.all_tags = set()
+        self.stop_tags = set()
+        self._tag_density = DEFAULT_TAG_DENSITY
+
+    # -- tag density / sets ----------------------------------------------
+
+    def _get_tag_density(self):
+        return self._tag_density
+
+    def _set_tag_density(self, d):
+        if d % 2 != 0:
+            raise ValueError("tag density must be even")
+        self._tag_density = d
+
+    def n_tags(self):
+        return len(self.all_tags)
+
+    def add_tag(self, kmer):
+        self.all_tags.add(self._tag_hash(kmer))
+
+    def get_tagset(self):
+        return [self.reverse_hash(t) for t in sorted(self.all_tags)]
+
+    def _tag_hash(self, kmer):
+        if isinstance(kmer, str):
+            return self.hash(kmer)
+        return int(kmer)
+
+    def add_stop_tag(self, kmer):
+        self.stop_tags.add(self._tag_hash(kmer))
+
+    def n_stop_tags(self):
+        return len(self.stop_tags)
+
+    def get_stop_tags(self):
+        return [self.reverse_hash(t) for t in sorted(self.stop_tags)]
+
+    def divide_tags_into_subsets(self, subset_size):
+        """Every subset_size-th tag, in sorted order.
+
+        reference: Hashgraph::divide_tags_into_subsets
+        (src/oxli/hashgraph.cc:349-362).
+        """
+        divvy = []
+        i = 0
+        for tag in sorted(self.all_tags):
+            if i % subset_size == 0:
+                divvy.append(tag)
+            i += 1
+        return divvy
+
+    # -- tagging consume ---------------------------------------------------
+
+    def consume_and_tag(self, seq):
+        """Count + tag one sequence; returns n new k-mers consumed.
+
+        reference: Hashgraph::consume_sequence_and_tag
+        (src/oxli/hashgraph.cc:200-271).
+        """
+        n, _ = self._consume_and_tag_seq(seq)
+        return n
+
+    def _consume_and_tag_seq(self, seq, found_tags=None):
+        hashes = self._hashes_for_sequence(seq)
+        if hashes.size == 0:
+            return 0, found_tags
+        M0 = hashes.shape[0]
+        M = max(((M0 + 255) // 256) * 256, 256)
+        hb = np.zeros(M, dtype=np.uint64)
+        hb[:M0] = hashes
+        vb = np.zeros(M, dtype=bool)
+        vb[:M0] = True
+        self.tables, out = self._update_fn(with_event_new=True)(
+            self.tables, self._n_unique, jnp.asarray(hb), jnp.asarray(vb))
+        self._n_unique = out["n_unique"]
+        if self._use_bigcount and "sat_total" in out:
+            self._absorb_saturation(out)
+        is_new = np.asarray(out["event_new"])[:M0]
+        n_consumed = self._tag_spacing_pass(hashes, is_new, found_tags)
+        return n_consumed, found_tags
+
+    def _tag_spacing_pass(self, hashes, is_new, found_tags=None):
+        """Host pass applying the tag-spacing rules for one read."""
+        density = self._tag_density
+        since = density // 2 + 1
+        n_consumed = 0
+        all_tags = self.all_tags
+        kmer = None
+        for i in range(hashes.shape[0]):
+            kmer = int(hashes[i])
+            if is_new[i]:
+                n_consumed += 1
+                since += 1
+            elif kmer in all_tags:
+                since = 1
+                if found_tags is not None:
+                    found_tags.add(kmer)
+            else:
+                since += 1
+            if since >= density:
+                all_tags.add(kmer)
+                if found_tags is not None:
+                    found_tags.add(kmer)
+                since = 1
+        if since >= density // 2 - 1 and kmer is not None:
+            all_tags.add(kmer)
+            if found_tags is not None:
+                found_tags.add(kmer)
+        return n_consumed
+
+    def consume_seqfile_and_tag(self, source):
+        """Returns (total_reads, n_consumed).
+
+        reference: Hashgraph::consume_seqfile_and_tag
+        (src/oxli/hashgraph.cc:279-320). Batched: hashes are committed to
+        the sketch in large device batches (with exact per-event
+        new-k-mer flags); the sequential tag-spacing pass runs on host.
+        """
+        from khmer_tpu.core import pipeline
+
+        k = self._ksize
+        hash_fn = pipeline.make_hash_batch(k, self.hash_family)
+        batcher = pipeline.Batcher(k)
+        pending = []  # window counts per read in batch
+        total_reads = 0
+        n_consumed = 0
+
+        def commit(batch):
+            nonlocal n_consumed
+            if batch is None:
+                return
+            if isinstance(batch, list):
+                for b in batch:
+                    commit(b)
+                return
+            codes, lengths = batch
+            hashes, valid = hash_fn(jnp.asarray(codes),
+                                    jnp.asarray(lengths))
+            self.tables, out = self._update_fn(with_event_new=True)(
+                self.tables, self._n_unique, hashes.ravel(), valid.ravel())
+            self._n_unique = out["n_unique"]
+            if self._use_bigcount and "sat_total" in out:
+                self._absorb_saturation(out)
+            is_new = np.asarray(out["event_new"])
+            hs = np.asarray(hashes)
+            W = hashes.shape[1]
+            for row, n_win in pending:
+                base = row * W
+                n_consumed += self._tag_spacing_pass(
+                    hs[row, :n_win], is_new[base:base + n_win])
+            pending.clear()
+
+        row_in_batch = 0
+        for record in pipeline.records_from(source):
+            seq = record.cleaned_seq
+            total_reads += 1
+            if len(seq) < k:
+                continue
+            if len(seq) > pipeline.MAX_ROW_LEN:
+                # long reads: take the one-sequence path, in order
+                commit(batcher.flush())
+                row_in_batch = 0
+                n, _ = self._consume_and_tag_seq(seq)
+                n_consumed += n
+                continue
+            pending.append((row_in_batch, len(seq) - k + 1))
+            row_in_batch += 1
+            batch = batcher.add(seq)
+            if batch is not None:
+                commit(batch)
+                row_in_batch = 0
+        commit(batcher.flush())
+        return total_reads, n_consumed
+
+    def get_tags_for_sequence(self, seq):
+        """Tags present among the sequence's k-mers
+        (hashgraph.cc:324-342)."""
+        hashes = self._hashes_for_sequence(seq)
+        return [int(h) for h in hashes if int(h) in self.all_tags]
+
+    def get_tags_and_positions(self, seq):
+        hashes = self._hashes_for_sequence(seq)
+        return [(i + self._ksize, int(h)) for i, h in enumerate(hashes)
+                if int(h) in self.all_tags]
+
+    def find_all_tags_list(self, kmer):
+        from khmer_tpu.core import partition as P
+
+        _, f, r = H._hash_scalar(kmer, self._ksize)
+        tags = P.find_all_tags(self, f, r)
+        return [int(t) for t in tags]
+
+    # -- tagset / stoptags persistence ------------------------------------
+
+    def save_tagset(self, path):
+        from khmer_tpu.core import oxli_io
+
+        oxli_io.save_tagset(path, self._ksize, self.all_tags,
+                            self._tag_density)
+
+    def load_tagset(self, path, clear_tags=True):
+        from khmer_tpu.core import oxli_io
+
+        tags, density = oxli_io.load_tagset(path, self._ksize)
+        if clear_tags:
+            self.all_tags = tags
+        else:
+            self.all_tags |= tags
+        self._tag_density = density
+
+    def save_stop_tags(self, path):
+        from khmer_tpu.core import oxli_io
+
+        oxli_io.save_stoptags(path, self._ksize, self.stop_tags)
+
+    def load_stop_tags(self, path, clear_tags=True):
+        from khmer_tpu.core import oxli_io
+
+        st = oxli_io.load_stoptags(path, self._ksize)
+        if clear_tags:
+            self.stop_tags = st
+        else:
+            self.stop_tags |= st
+
+    def print_tagset(self, path):
+        with open(path, "w") as f:
+            for t in sorted(self.all_tags):
+                f.write(self.reverse_hash(t) + "\n")
+
+    def print_stop_tags(self, path):
+        with open(path, "w") as f:
+            for t in sorted(self.stop_tags):
+                f.write(self.reverse_hash(t) + "\n")
+
+    # -- neighbors / degree -----------------------------------------------
+
+    def _neighbors_fn(self):
+        return make_neighbors_fn(self.storage_kind, self._primes,
+                                 self._ksize)
+
+    def neighbors_batch(self, f_arr, r_arr):
+        """(nf, nr, ncanon, present) for arrays of (f, r) k-mers."""
+        fn = self._neighbors_fn()
+        return fn(self.tables,
+                  jnp.asarray(f_arr, dtype=jnp.uint64),
+                  jnp.asarray(r_arr, dtype=jnp.uint64))
+
+    def neighbors(self, kmer):
+        """Present neighbor canonical hashes of one k-mer (str or hash)."""
+        f, r = self._fr_for(kmer)
+        nf, nr, nc, present = self.neighbors_batch(
+            np.array([f], np.uint64), np.array([r], np.uint64))
+        present = np.asarray(present)[0]
+        nc = np.asarray(nc)[0]
+        return [int(nc[i]) for i in range(8) if present[i]]
+
+    def _fr_for(self, kmer):
+        if isinstance(kmer, str):
+            _, f, r = H._hash_scalar(kmer, self._ksize)
+            return f, r
+        # hash given: reconstruct the sequence (reversible hash)
+        s = H.reverse_hash(int(kmer), self._ksize)
+        _, f, r = H._hash_scalar(s, self._ksize)
+        return f, r
+
+    def kmer_degree(self, kmer_f, kmer_r=None):
+        """Number of present neighbors (hashgraph.cc:473-485)."""
+        if isinstance(kmer_f, str) and kmer_r is None:
+            f, r = self._fr_for(kmer_f)
+        elif isinstance(kmer_f, str):
+            _, f, _ = H._hash_scalar(kmer_f, self._ksize)
+            _, r0, _ = H._hash_scalar(kmer_r, self._ksize)
+            r = r0
+        else:
+            f, r = int(kmer_f), int(kmer_r)
+        _, _, _, present = self.neighbors_batch(
+            np.array([f], np.uint64), np.array([r], np.uint64))
+        return int(np.asarray(present)[0].sum())
+
+    # -- traversal ---------------------------------------------------------
+
+    def calc_connected_graph_size(self, kmer, max_size=0,
+                                  break_on_circumference=False):
+        """BFS size of the component containing kmer
+        (hashgraph.cc:420-471)."""
+        from khmer_tpu.core import traversal as T
+
+        return T.calc_connected_graph_size(self, kmer, max_size)
+
+    def traverse_linear_path(self, kmer, adjacencies=None, visited=None,
+                             stop_filter=None):
+        from khmer_tpu.core import traversal as T
+
+        return T.traverse_linear_path(self, kmer, adjacencies, visited,
+                                      stop_filter)
+
+    def find_high_degree_nodes(self, seq):
+        """Set of k-mers in seq with degree > 2 (hashgraph.cc:820-841)."""
+        hashes = self._hashes_for_sequence(seq)
+        if hashes.size == 0:
+            return set()
+        codes = H.encode_dna(seq)
+        n = len(hashes)
+        fs = np.zeros(n, np.uint64)
+        rs = np.zeros(n, np.uint64)
+        for i in range(n):
+            sub = H.decode_dna(codes[i:i + self._ksize])
+            _, fs[i], rs[i] = H._hash_scalar(sub, self._ksize)
+        _, _, _, present = self.neighbors_batch(fs, rs)
+        deg = np.asarray(present).sum(axis=1)
+        return set(int(h) for h, d in zip(hashes, deg) if d > 2)
+
+    def trim_on_stoptags(self, seq):
+        """Trim at the first stoptag k-mer (hashgraph.cc:487-501):
+        position k-2+i for a stoptag at window i."""
+        hashes = self._hashes_for_sequence(seq)
+        for i, h in enumerate(hashes):
+            if int(h) in self.stop_tags:
+                pos = self._ksize - 2 + i
+                return seq[:pos], pos
+        return seq, len(seq)
+
+    # -- partitioning entry points (delegated) -----------------------------
+
+    def do_subset_partition(self, start_kmer=0, end_kmer=0,
+                            break_on_stoptags=False,
+                            stop_big_traversals=False):
+        from khmer_tpu.core.partition import SubsetPartition
+
+        subset = SubsetPartition(self)
+        subset.do_partition(start_kmer, end_kmer, break_on_stoptags,
+                            stop_big_traversals)
+        return subset
+
+    def consume_seqfile_and_tag_with_reads_parser(self, parser):
+        return self.consume_seqfile_and_tag(parser)
+
+    def consume_partitioned_fasta(self, filename):
+        from khmer_tpu.core.partition import consume_partitioned_fasta
+
+        return consume_partitioned_fasta(self, filename)

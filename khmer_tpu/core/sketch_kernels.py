@@ -1,0 +1,419 @@
+"""Jitted batch-update/query pipelines for the probabilistic sketches.
+
+Device-side equivalents of the reference storage classes
+(include/oxli/storage.hh): BitStorage (Bloom filter), ByteStorage
+(Count-Min, 8-bit saturating + bigcount overflow), NibbleStorage (4-bit
+Count-Min). The reference updates counters one k-mer at a time with atomic
+ops; here a whole batch of hashes is committed at once through a
+sort -> dedup -> gather -> modify -> scatter pipeline that is *exactly
+equivalent to sequential order* of the batch:
+
+- table contents: saturating counters are order-independent given per-bin
+  totals (min(old + total, max)), so one deduplicated scatter per table is
+  bit-exact.
+- per-event "is new k-mer": the reference counts an add as new iff some
+  table's bin was zero at that moment (storage.hh:571-624, :177-197).
+  Within a batch only the *first* event to hit a given fresh bin gets
+  credit; we reproduce this by sorting each table's bins and crediting
+  only per-bin winners (ordered by original batch position).
+- bigcount saturation info is returned compactly for the host-side
+  overflow map (the reference keeps an unordered_map behind a spin lock).
+
+Tables for one sketch are a tuple of 1-D uint8 device arrays (one per
+prime-sized table). Batches are uint64 canonical hashes + validity mask.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_KCOUNT = 255      # reference: include/oxli/oxli.hh:81
+MAX_BIGCOUNT = 65535  # reference: include/oxli/oxli.hh:82
+NIBBLE_MAX = 15
+# NOTE: always np.uint64 for constants, never jnp.uint64 — eagerly-created
+# jnp scalars with the top bit set land on the axon TPU device and take
+# minutes to fetch during lowering (axon plugin quirk).
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# number of saturated-unique-hash slots returned per batch for host bigcount
+SAT_SLOTS = 16384
+
+
+def _u64(x):
+    if isinstance(x, (int, np.integer)):
+        return np.uint64(x)
+    return jnp.asarray(x, dtype=jnp.uint64)
+
+
+# --------------------------------------------------------------------------
+# shared building blocks
+# --------------------------------------------------------------------------
+
+
+def _dedup_batch(hashes, valid):
+    """Sort + dedup a batch of hashes preserving batch-order information.
+
+    Returns dict with, per "unique slot" (M slots; inactive padded):
+      uh       [M] u64   unique hash value
+      ucnt     [M] i32   occurrences in batch (0 for inactive slots)
+      ufirst   [M] i32   smallest batch index among occurrences
+      uvalid   [M] bool  slot active
+    """
+    M = hashes.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    inv = jnp.where(valid, jnp.int32(0), jnp.int32(1))
+    inv_s, h_s, idx_s = jax.lax.sort((inv, hashes, idx), num_keys=2)
+    v_s = inv_s == 0
+    first = v_s & ((jnp.arange(M) == 0)
+                   | (h_s != jnp.roll(h_s, 1))
+                   | ~jnp.roll(v_s, 1))
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(v_s, seg, M)  # invalid -> dropped by segment ops
+    ones = jnp.where(v_s, jnp.int32(1), jnp.int32(0))
+    ucnt = jax.ops.segment_sum(ones, seg, num_segments=M,
+                               indices_are_sorted=True)
+    ufirst = jax.ops.segment_min(idx_s, seg, num_segments=M,
+                                 indices_are_sorted=True)
+    uh = jax.ops.segment_max(h_s, seg, num_segments=M,
+                             indices_are_sorted=True)
+    uvalid = ucnt > 0
+    return {"uh": uh, "ucnt": ucnt, "ufirst": ufirst, "uvalid": uvalid}
+
+
+def _group_by_bin(bins, ufirst, active):
+    """Sort unique-slot bins; group; mark per-bin winners (min ufirst).
+
+    Returns (bins_s, perm, v_s, bwin, bseg): bin-sorted bins, permutation
+    into unique-slot order, active flags, winner flags, segment ids
+    (inactive rows get segment M, dropped by segment ops).
+    """
+    M = bins.shape[0]
+    uidx = jnp.arange(M, dtype=jnp.int32)
+    bins_m = jnp.where(active, bins, _U64_MAX)
+    first_m = jnp.where(active, ufirst, jnp.int32(2**31 - 1))
+    bins_s, _, perm = jax.lax.sort((bins_m, first_m, uidx), num_keys=2)
+    v_s = jnp.take(active, perm)
+    bfirst = v_s & ((jnp.arange(M) == 0)
+                    | (bins_s != jnp.roll(bins_s, 1))
+                    | ~jnp.roll(v_s, 1))
+    bseg = jnp.cumsum(bfirst.astype(jnp.int32)) - 1
+    bseg = jnp.where(v_s, bseg, M)
+    return bins_s, perm, v_s, bfirst, bseg
+
+
+def _scatter_set(table, idx, values, active):
+    """Write values at idx where active; inactive writes are dropped."""
+    safe_idx = jnp.where(active, idx, _u64(table.shape[0]))
+    return table.at[safe_idx].set(values, mode="drop")
+
+
+# --------------------------------------------------------------------------
+# per-table update rules. Each returns (new_table, old_count_u, credit_u)
+# in unique-slot order: the pre-batch count of the hash's bin and whether
+# the hash is the first batch event to hit a fresh (zero) bin.
+# --------------------------------------------------------------------------
+
+
+def _byte_table_update(table, prime, d):
+    """ByteStorage: saturate at 255 (reference storage.hh:571-624)."""
+    M = d["uh"].shape[0]
+    bins = d["uh"] % _u64(prime)
+    bins_s, perm, v_s, bwin, bseg = _group_by_bin(bins, d["ufirst"],
+                                                  d["uvalid"])
+    cnt_s = jnp.take(d["ucnt"], perm)
+    old_s = jnp.take(table, jnp.where(v_s, bins_s, _u64(0))).astype(jnp.int32)
+    tot_per_bin = jax.ops.segment_sum(cnt_s, bseg, num_segments=M,
+                                      indices_are_sorted=True)
+    old_per_bin = jax.ops.segment_max(old_s, bseg, num_segments=M,
+                                      indices_are_sorted=True)
+    new_per_bin = jnp.minimum(old_per_bin + tot_per_bin, MAX_KCOUNT)
+    new_s = jnp.take(new_per_bin, jnp.where(v_s, bseg, M - 1))
+    table = _scatter_set(table, bins_s, new_s.astype(table.dtype), bwin)
+    credit_s = bwin & (old_s == 0)
+    old_u = jnp.full(M, jnp.int32(MAX_KCOUNT)).at[perm].set(
+        jnp.where(v_s, old_s, MAX_KCOUNT))
+    credit_u = jnp.zeros(M, bool).at[perm].set(credit_s)
+    return table, old_u, credit_u
+
+
+def _nibble_phase(table, prime, d, parity):
+    """One parity class of NibbleStorage (even bins=high nibble).
+
+    reference: include/oxli/storage.hh:245-405.
+    """
+    M = d["uh"].shape[0]
+    bins = d["uh"] % _u64(prime)
+    sel = d["uvalid"] & ((bins % _u64(2)).astype(jnp.int32) == parity)
+    bins_s, perm, v_s, bwin, bseg = _group_by_bin(bins, d["ufirst"], sel)
+    cnt_s = jnp.take(d["ucnt"], perm)
+    bytes_idx = bins_s // _u64(2)
+    byte_old = jnp.take(table, jnp.where(v_s, bytes_idx, _u64(0)))
+    shift = 4 if parity == 0 else 0
+    mask = 0xF0 if parity == 0 else 0x0F
+    old_nib = ((byte_old.astype(jnp.int32) & mask) >> shift)
+    tot_per_bin = jax.ops.segment_sum(cnt_s, bseg, num_segments=M,
+                                      indices_are_sorted=True)
+    old_per_bin = jax.ops.segment_max(old_nib, bseg, num_segments=M,
+                                      indices_are_sorted=True)
+    new_nib_bin = jnp.minimum(old_per_bin + tot_per_bin, NIBBLE_MAX)
+    new_nib = jnp.take(new_nib_bin, jnp.where(v_s, bseg, M - 1))
+    new_byte = ((byte_old.astype(jnp.int32) & (0xFF ^ mask))
+                | (new_nib << shift)).astype(table.dtype)
+    table = _scatter_set(table, bytes_idx, new_byte, bwin)
+    credit_s = bwin & (old_nib == 0)
+    old_u_phase = jnp.full(M, jnp.int32(NIBBLE_MAX)).at[perm].set(
+        jnp.where(v_s, old_nib, NIBBLE_MAX))
+    credit_u = jnp.zeros(M, bool).at[perm].set(credit_s)
+    return table, old_u_phase, credit_u
+
+
+def _nibble_table_update(table, prime, d):
+    table, old_e, cred_e = _nibble_phase(table, prime, d, 0)
+    table, old_o, cred_o = _nibble_phase(table, prime, d, 1)
+    return table, jnp.minimum(old_e, old_o), cred_e | cred_o
+
+
+def _bit_table_update(table, prime, d):
+    """BitStorage Bloom filter (reference storage.hh:95-229)."""
+    M = d["uh"].shape[0]
+    bins = d["uh"] % _u64(prime)
+    bins_s, perm, v_s, bwin, bseg = _group_by_bin(bins, d["ufirst"],
+                                                  d["uvalid"])
+    byte_idx = bins_s // _u64(8)
+    bitval = (jnp.int32(1) << (bins_s % _u64(8)).astype(jnp.int32))
+    old_byte = jnp.take(table, jnp.where(v_s, byte_idx, _u64(0))
+                        ).astype(jnp.int32)
+    old_bit = (old_byte & bitval) != 0
+    # bins sorted implies bytes sorted; group bins by byte for the scatter
+    byfirst = v_s & ((jnp.arange(M) == 0)
+                     | (byte_idx != jnp.roll(byte_idx, 1))
+                     | ~jnp.roll(v_s, 1))
+    byseg = jnp.cumsum(byfirst.astype(jnp.int32)) - 1
+    byseg = jnp.where(v_s, byseg, M)
+    # OR of the winner bits in this byte == sum (bits are distinct powers)
+    or_mask = jax.ops.segment_sum(jnp.where(bwin, bitval, 0), byseg,
+                                  num_segments=M, indices_are_sorted=True)
+    new_byte_per = jnp.take(or_mask, jnp.where(v_s, byseg, M - 1)) | old_byte
+    table = _scatter_set(table, byte_idx, new_byte_per.astype(table.dtype),
+                         byfirst)
+    credit_s = bwin & ~old_bit
+    credit_u = jnp.zeros(M, bool).at[perm].set(credit_s)
+    old_u = jnp.ones(M, jnp.int32).at[perm].set(
+        jnp.where(v_s & ~old_bit, 0, 1))
+    return table, old_u, credit_u
+
+
+_TABLE_UPDATE = {
+    "byte": _byte_table_update,
+    "nibble": _nibble_table_update,
+    "bit": _bit_table_update,
+}
+
+
+def _apply_update(kind, primes, tables, d):
+    """Update all tables; returns (tables, min_old_u, any_credit_u)."""
+    M = d["uh"].shape[0]
+    new_tables = []
+    min_old = jnp.full(M, jnp.int32(MAX_KCOUNT))
+    any_credit = jnp.zeros(M, bool)
+    fn = _TABLE_UPDATE[kind]
+    for t, p in enumerate(primes):
+        tbl, old_u, credit_u = fn(tables[t], p, d)
+        new_tables.append(tbl)
+        min_old = jnp.minimum(min_old, old_u)
+        any_credit = any_credit | credit_u
+    return tuple(new_tables), min_old, any_credit
+
+
+# --------------------------------------------------------------------------
+# public factories
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def make_update(kind, primes, with_bigcount=False, with_event_new=False):
+    """Batch-consume for a sketch.
+
+    update(tables, n_unique, hashes[M] u64, valid[M] bool)
+      -> (tables, out) with out.n_unique (+ bigcount report / event_new).
+    """
+    primes = tuple(int(p) for p in primes)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update(tables, n_unique, hashes, valid):
+        M = hashes.shape[0]
+        d = _dedup_batch(hashes, valid)
+        tables, min_old, any_credit = _apply_update(kind, primes, tables, d)
+        new_u = d["uvalid"] & any_credit
+        n_unique = n_unique + jnp.sum(
+            jnp.where(new_u, 1, 0)).astype(jnp.uint64)
+        out = {"n_unique": n_unique}
+        if with_event_new:
+            out["event_new"] = jnp.zeros(M, bool).at[
+                jnp.where(new_u, d["ufirst"], M)].set(True, mode="drop")
+        if with_bigcount:
+            # occurrences beyond the point where every table bin is at max
+            triggers = d["ucnt"] - jnp.maximum(MAX_KCOUNT - min_old, 0)
+            sat = d["uvalid"] & (triggers > 0)
+            out["sat_total"] = jnp.sum(sat.astype(jnp.int32))
+            slots = min(SAT_SLOTS, M)
+            sat_idx = jnp.nonzero(sat, size=slots, fill_value=M - 1)[0]
+            out["sat_hash"] = jnp.take(d["uh"], sat_idx)
+            out["sat_triggers"] = jnp.where(
+                jnp.take(sat, sat_idx), jnp.take(triggers, sat_idx), 0)
+        return tables, out
+
+    return update
+
+
+def _gather_counts(kind, primes, tables, hashes):
+    if kind == "byte":
+        counts = jnp.full(hashes.shape, jnp.uint16(MAX_KCOUNT))
+        for t, p in enumerate(primes):
+            c = jnp.take(tables[t], hashes % _u64(p)).astype(jnp.uint16)
+            counts = jnp.minimum(counts, c)
+        return counts
+    elif kind == "nibble":
+        counts = jnp.full(hashes.shape, jnp.uint16(NIBBLE_MAX))
+        for t, p in enumerate(primes):
+            bins = hashes % _u64(p)
+            byte = jnp.take(tables[t], bins // _u64(2)).astype(jnp.uint16)
+            odd = (bins % _u64(2)).astype(jnp.uint16)
+            nib = jnp.where(odd == 1, byte & 0xF, byte >> 4)
+            counts = jnp.minimum(counts, nib)
+        return counts
+    elif kind == "bit":
+        present = jnp.ones(hashes.shape, bool)
+        for t, p in enumerate(primes):
+            bins = hashes % _u64(p)
+            byte = jnp.take(tables[t], bins // _u64(8)).astype(jnp.int32)
+            bit = (jnp.int32(1) << (bins % _u64(8)).astype(jnp.int32))
+            present = present & ((byte & bit) != 0)
+        return present.astype(jnp.uint16)
+    raise ValueError(kind)
+
+
+@functools.lru_cache(maxsize=None)
+def make_get(kind, primes):
+    """Batch count lookup: get(tables, hashes[...]) -> uint16 counts."""
+    primes = tuple(int(p) for p in primes)
+
+    @jax.jit
+    def get(tables, hashes):
+        return _gather_counts(kind, primes, tables, hashes)
+
+    return get
+
+
+@functools.lru_cache(maxsize=None)
+def make_abund_dist(track_kind, track_primes, main_kind, main_primes):
+    """Fused abundance-distribution step (reference hashtable.cc:451-502).
+
+    Per event, in order: if tracking count is 0, add to tracking and
+    histogram the main sketch's count. Returns updated tracking tables,
+    histogram increment, and the saturated slots (count==MAX_KCOUNT) for
+    host-side bigcount fixup.
+    """
+    track_primes = tuple(int(p) for p in track_primes)
+    main_primes = tuple(int(p) for p in main_primes)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(track_tables, dist, main_tables, hashes, valid):
+        M = hashes.shape[0]
+        d = _dedup_batch(hashes, valid)
+        track_tables, _, any_credit = _apply_update(
+            track_kind, track_primes, track_tables, d)
+        counted = d["uvalid"] & any_credit
+        counts = _gather_counts(main_kind, main_primes, main_tables,
+                                d["uh"]).astype(jnp.int32)
+        # saturated counts defer to the host (bigcount map)
+        is_sat = counted & (counts == MAX_KCOUNT)
+        hist_idx = jnp.where(counted & ~is_sat, counts, MAX_BIGCOUNT + 1)
+        dist = dist.at[hist_idx].add(1, mode="drop")
+        n_sat = jnp.sum(is_sat.astype(jnp.int32))
+        slots = min(SAT_SLOTS, M)
+        sat_idx = jnp.nonzero(is_sat, size=slots, fill_value=M - 1)[0]
+        sat_hash = jnp.where(jnp.take(is_sat, sat_idx),
+                             jnp.take(d["uh"], sat_idx), _U64_MAX)
+        return track_tables, dist, n_sat, sat_hash
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# occupancy reductions (n_occupied == nonzero bins of table 0; the
+# reference tracks first-table 0->1 transitions: storage.hh:581-589)
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def byte_occupied(table0):
+    return jnp.sum((table0 != 0).astype(jnp.uint64))
+
+
+@functools.lru_cache(maxsize=None)
+def make_nibble_occupied(prime):
+    @jax.jit
+    def f(table0):
+        hi = (table0 >> 4) != 0
+        lo = (table0 & 0xF) != 0
+        return (jnp.sum(hi.astype(jnp.uint64))
+                + jnp.sum(lo.astype(jnp.uint64)))
+
+    return f
+
+
+@jax.jit
+def bit_occupied(table0):
+    return jnp.sum(jax.lax.population_count(table0).astype(jnp.uint64))
+
+
+def init_tables(kind, primes):
+    """Allocate zeroed device tables for a storage kind."""
+    arrays = []
+    for p in primes:
+        p = int(p)
+        if kind == "byte":
+            n = p
+        elif kind == "nibble":
+            n = p // 2 + 1
+        elif kind == "bit":
+            n = p // 8 + 1
+        else:
+            raise ValueError(kind)
+        arrays.append(jnp.zeros(n, dtype=jnp.uint8))
+    return tuple(arrays)
+
+
+def get_n_primes_near_x(n_tables: int, x: int):
+    """Descending primes just below x (reference: hashtable.hh:99-123)."""
+    if x == 1:
+        return [1]
+
+    def is_prime(num):
+        if num < 2:
+            return False
+        if num == 2:
+            return True
+        if num % 2 == 0:
+            return False
+        i = 3
+        while i * i <= num:
+            if num % i == 0:
+                return False
+            i += 2
+        return True
+
+    primes = []
+    i = x - 1
+    if i % 2 == 0:
+        i -= 1
+    while len(primes) != n_tables and i > 0:
+        if is_prime(i):
+            primes.append(i)
+        if i == 1:
+            break
+        i -= 2
+    return primes
