@@ -45,6 +45,25 @@ from khmer_tpu.ops.hashing import (  # noqa: E402
     reverse_complement,
     reverse_hash,
 )
+from khmer_tpu.io.fastx import ReadParser  # noqa: E402
+
+
+def _pin_default_device():
+    """Keep host arrays off the tunneled TPU when running CPU-only.
+
+    The axon PJRT plugin routes numpy->jax transfers to the TPU even when
+    JAX_PLATFORMS=cpu; pinning the default device avoids pathological
+    (~minutes) constant fetches. When the TPU is the default backend
+    (production), no pin is applied.
+    """
+    try:
+        if jax.default_backend() == "cpu":
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
+
+
+_pin_default_device()
 
 # Memory-per-bucket ratios per graph type (reference: khmer/__init__.py:86-92)
 _buckets_per_byte = {
