@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: k-mer counting throughput on the current JAX device.
+
+Replicates BASELINE.json config 1 — the load-into-counting hot path
+(Countgraph build, k=20) over data/25k.fq.gz — via the flat-stream
+pipeline (single fused jit shape), reporting k-mers counted per second
+on-device, excluding host parse and compile warmup.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is measured against khmer's C++ single-thread counting rate
+(~3.0e6 k-mers/s for Countgraph consume on comparable hardware; the
+reference publishes no numbers in-repo, see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DATA = os.path.join(REPO, "data", "25k.fq.gz")
+K = 20
+KHMER_CPU_BASELINE = 3.0e6  # k-mers/s, single-thread C++ reference
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from khmer_tpu.core import pipeline
+    from khmer_tpu.core.sketch import Countgraph
+    from khmer_tpu.io.fastx import FastxParser
+
+    dev = jax.devices()[0]
+    print("device: %s" % dev, file=sys.stderr)
+
+    # -- host: parse + pack all flat chunks up front ---------------------
+    t0 = time.time()
+    packer = pipeline.FlatPacker(K)
+    chunks = []
+    n_reads = 0
+    for rec in FastxParser(DATA):
+        n_reads += 1
+        if len(rec.cleaned_seq) >= K:
+            chunks.extend(packer.add(rec.cleaned_seq))
+    tail = packer.flush()
+    if tail is not None:
+        chunks.append(tail)
+    parse_s = time.time() - t0
+
+    graph = Countgraph(K, 5e7, 4)
+    step = pipeline.make_flat_consume(graph.storage_kind, graph._primes,
+                                      K, graph.hash_family)
+
+    dev_chunks = [(jnp.asarray(c), jnp.asarray(s), jnp.int32(n))
+                  for c, s, n in chunks]
+
+    def run_all(tables, n_unique):
+        n_consumed = jnp.zeros((), jnp.uint64)
+        for codes, starts, nfill in dev_chunks:
+            tables, n_unique, n_consumed, _ = step(
+                tables, n_unique, n_consumed, codes, starts, nfill)
+        return tables, n_unique, n_consumed
+
+    # warmup/compile
+    t0 = time.time()
+    tables, n_unique, n_consumed = run_all(graph.tables, graph._n_unique)
+    jax.block_until_ready(tables)
+    total_kmers = int(n_consumed)
+    warm_s = time.time() - t0
+    print("parsed %d reads, %d k-mers in %.2fs (%d chunks); first pass "
+          "(incl. compile): %.2fs"
+          % (n_reads, total_kmers, parse_s, len(chunks), warm_s),
+          file=sys.stderr)
+
+    # timed passes on a fresh graph (compile now cached)
+    graph2 = Countgraph(K, 5e7, 4)
+    reps = 5
+    t0 = time.time()
+    tables, n_unique = graph2.tables, graph2._n_unique
+    for _ in range(reps):
+        tables, n_unique, nc = run_all(tables, n_unique)
+    np.asarray(tables[0][:1])
+    dt = time.time() - t0
+    rate = total_kmers * reps / dt
+
+    print("unique k-mers: %d" % int(n_unique), file=sys.stderr)
+    print("counting rate: %.3g k-mers/s (%.2fs for %d k-mers x%d)"
+          % (rate, dt, total_kmers, reps), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "countgraph_kmers_per_sec",
+        "value": round(rate, 1),
+        "unit": "k-mers/s",
+        "vs_baseline": round(rate / KHMER_CPU_BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -147,8 +147,15 @@ class HashgraphMixin:
 
     def _tag_spacing_pass(self, hashes, is_new, found_tags=None):
         """Host pass applying the tag-spacing rules for one read."""
+        since = self._tag_density // 2 + 1
+        n_consumed, since, kmer = self._tag_spacing_step(
+            hashes, is_new, since, found_tags)
+        self._tag_spacing_tail(since, kmer, found_tags)
+        return n_consumed
+
+    def _tag_spacing_step(self, hashes, is_new, since, found_tags=None):
+        """Incremental spacing pass over one segment of a read."""
         density = self._tag_density
-        since = density // 2 + 1
         n_consumed = 0
         all_tags = self.all_tags
         kmer = None
@@ -168,75 +175,79 @@ class HashgraphMixin:
                 if found_tags is not None:
                     found_tags.add(kmer)
                 since = 1
-        if since >= density // 2 - 1 and kmer is not None:
-            all_tags.add(kmer)
+        return n_consumed, since, kmer
+
+    def _tag_spacing_tail(self, since, kmer, found_tags=None):
+        """End-of-read rule: tag the last k-mer if spacing warrants."""
+        if since >= self._tag_density // 2 - 1 and kmer is not None:
+            self.all_tags.add(kmer)
             if found_tags is not None:
                 found_tags.add(kmer)
-        return n_consumed
 
     def consume_seqfile_and_tag(self, source):
         """Returns (total_reads, n_consumed).
 
         reference: Hashgraph::consume_seqfile_and_tag
-        (src/oxli/hashgraph.cc:279-320). Batched: hashes are committed to
-        the sketch in large device batches (with exact per-event
-        new-k-mer flags); the sequential tag-spacing pass runs on host.
+        (src/oxli/hashgraph.cc:279-320). Batched via the flat-stream
+        pipeline: hashes are committed to the sketch in large device
+        chunks (with exact per-event new-k-mer flags); the sequential
+        tag-spacing pass runs on host, segment by segment.
         """
         from khmer_tpu.core import pipeline
 
         k = self._ksize
-        hash_fn = pipeline.make_hash_batch(k, self.hash_family)
-        batcher = pipeline.Batcher(k)
-        pending = []  # window counts per read in batch
+        step = pipeline.make_flat_consume(
+            self.storage_kind, self._primes, k, self.hash_family,
+            with_event_new=True,
+            with_bigcount=(self._use_bigcount
+                           and self.storage_kind == "byte"))
+        packer = pipeline.FlatPacker(k, track_segments=True)
         total_reads = 0
-        n_consumed = 0
+        n_consumed_tags = 0  # new k-mers, counted on host for exactness
+        n_consumed = jnp.zeros((), jnp.uint64)
+        # spacing state carried across split-read segments
+        carry = [self._tag_density // 2 + 1, None, False]
 
-        def commit(batch):
-            nonlocal n_consumed
-            if batch is None:
-                return
-            if isinstance(batch, list):
-                for b in batch:
-                    commit(b)
-                return
-            codes, lengths = batch
-            hashes, valid = hash_fn(jnp.asarray(codes),
-                                    jnp.asarray(lengths))
-            self.tables, out = self._update_fn(with_event_new=True)(
-                self.tables, self._n_unique, hashes.ravel(), valid.ravel())
-            self._n_unique = out["n_unique"]
-            if self._use_bigcount and "sat_total" in out:
-                self._absorb_saturation(out)
-            is_new = np.asarray(out["event_new"])
-            hs = np.asarray(hashes)
-            W = hashes.shape[1]
-            for row, n_win in pending:
-                base = row * W
-                n_consumed += self._tag_spacing_pass(
-                    hs[row, :n_win], is_new[base:base + n_win])
-            pending.clear()
+        def commit(chunks):
+            nonlocal n_consumed, n_consumed_tags
+            for codes, starts, nfill, segments in chunks:
+                tables, n_unique, n_consumed, out = step(
+                    self.tables, self._n_unique, n_consumed,
+                    jnp.asarray(codes), jnp.asarray(starts),
+                    jnp.int32(nfill))
+                self.tables = tables
+                self._n_unique = n_unique
+                if "sat_total" in out:
+                    self._absorb_saturation(out)
+                is_new = np.asarray(out["event_new"])
+                hs = np.asarray(out["hashes"])
+                for off, n_win, is_cont in segments:
+                    if not is_cont:
+                        # finish previous read first
+                        if carry[2]:
+                            self._tag_spacing_tail(carry[0], carry[1])
+                        carry[0] = self._tag_density // 2 + 1
+                        carry[1] = None
+                    nc, since, kmer = self._tag_spacing_step(
+                        hs[off:off + n_win], is_new[off:off + n_win],
+                        carry[0])
+                    n_consumed_tags += nc
+                    carry[0] = since
+                    carry[1] = kmer
+                    carry[2] = True
 
-        row_in_batch = 0
         for record in pipeline.records_from(source):
             seq = record.cleaned_seq
             total_reads += 1
             if len(seq) < k:
                 continue
-            if len(seq) > pipeline.MAX_ROW_LEN:
-                # long reads: take the one-sequence path, in order
-                commit(batcher.flush())
-                row_in_batch = 0
-                n, _ = self._consume_and_tag_seq(seq)
-                n_consumed += n
-                continue
-            pending.append((row_in_batch, len(seq) - k + 1))
-            row_in_batch += 1
-            batch = batcher.add(seq)
-            if batch is not None:
-                commit(batch)
-                row_in_batch = 0
-        commit(batcher.flush())
-        return total_reads, n_consumed
+            commit(packer.add(seq))
+        tail = packer.flush()
+        if tail is not None:
+            commit([tail])
+        if carry[2]:
+            self._tag_spacing_tail(carry[0], carry[1])
+        return total_reads, n_consumed_tags
 
     def get_tags_for_sequence(self, seq):
         """Tags present among the sequence's k-mers

@@ -179,7 +179,10 @@ class HLLCounter:
 
     def consume_seqfile(self, source, stream_records=False):
         """Returns (total_reads, n_consumed)."""
+        import sys
+
         from khmer_tpu.core import pipeline
+        from khmer_tpu.io.fastx import write_record
 
         k = self._ksize
         batcher = pipeline.Batcher(k)
@@ -202,6 +205,8 @@ class HLLCounter:
             n_consumed += int(jnp.sum(valid))
 
         for record in pipeline.records_from(source):
+            if stream_records:
+                write_record(record, sys.stdout)
             seq = record.cleaned_seq
             total_reads += 1
             if len(seq) >= k:

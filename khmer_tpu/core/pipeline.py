@@ -26,6 +26,159 @@ TARGET_KMERS = 1 << 19
 MAX_ROW_LEN = 4096
 _L_LADDER = [64, 128, 256, 512, 1024, 2048, 4096]
 
+# flat-stream pipeline chunk: one fixed shape for the whole run
+FLAT_CHUNK = 1 << 21
+FLAT_MAX_READS = FLAT_CHUNK // 8
+
+
+class FlatPacker:
+    """Pack cleaned reads back-to-back into fixed-size 1-D code chunks.
+
+    TPU-first: a single [FLAT_CHUNK] uint8 code buffer plus the read
+    start offsets; windows spanning read boundaries are masked on
+    device. One compiled shape serves the entire stream (the [B, L]
+    row format recompiles per shape and wastes padding).
+
+    A read that does not fit in the remaining space is split: the next
+    chunk starts with the last k-1 bases (same implicit read id 0 =
+    "continuation"), so every k-window is produced exactly once, in
+    stream order.
+    """
+
+    def __init__(self, k, chunk=FLAT_CHUNK, track_segments=False):
+        self.k = k
+        self.chunk = chunk
+        self._codes = np.zeros(chunk, dtype=np.uint8)
+        self._starts = []
+        self._fill = 0
+        # optional per-read window segments: (win_offset, n_windows,
+        # is_continuation) per chunk, for host passes that need per-read
+        # grouping (tagging)
+        self.track_segments = track_segments
+        self._segments = []
+
+    def add(self, seq):
+        """Add one cleaned sequence. Returns a list of full chunks."""
+        k = self.k
+        out = []
+        codes = H.encode_dna(seq)
+        n = len(codes)
+        if n < k:
+            return out
+        pos = 0  # next window start still to be produced
+        while n - pos >= k:
+            space = self.chunk - self._fill
+            if space < k:
+                out.append(self._flush_full())
+                continue
+            take = min(n - pos, space)
+            if pos == 0:
+                # new read: start marker (continuations re-enter at
+                # offset 0 of a fresh chunk with no marker -> rid 0)
+                self._starts.append(self._fill)
+            if self.track_segments:
+                self._segments.append((self._fill, take - k + 1,
+                                       pos > 0))
+            self._codes[self._fill:self._fill + take] = \
+                codes[pos:pos + take]
+            self._fill += take
+            if pos + take == n:
+                break
+            # chunk full mid-read: flush and continue with k-1 overlap
+            out.append(self._flush_full())
+            pos = pos + take - (k - 1)
+        if self.chunk - self._fill < k:
+            out.append(self._flush_full())
+        return out
+
+    def _flush_full(self):
+        b = self.flush()
+        assert b is not None
+        return b
+
+    def flush(self):
+        """(codes[CHUNK], starts[FLAT_MAX_READS], nfill[, segments])."""
+        if self._fill == 0:
+            return None
+        if len(self._starts) > FLAT_MAX_READS:
+            raise RuntimeError("too many reads in one chunk")
+        starts = np.full(FLAT_MAX_READS, self.chunk, dtype=np.int32)
+        starts[: len(self._starts)] = self._starts
+        codes = self._codes
+        nfill = self._fill
+        segments = self._segments
+        self._codes = np.zeros(self.chunk, dtype=np.uint8)
+        self._starts = []
+        self._fill = 0
+        self._segments = []
+        if self.track_segments:
+            return codes, starts, nfill, segments
+        return codes, starts, nfill
+
+
+@functools.lru_cache(maxsize=None)
+def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
+                      with_bigcount=False, band=None, mask_kind=None,
+                      mask_primes=None, threshold=0, consume_masked=False,
+                      chunk=FLAT_CHUNK):
+    """One fused jit for the flat-stream hot path: read-boundary masks,
+    hashing, optional band/mask filters, sketch update, consumed count.
+
+    step(tables, n_unique, n_consumed, codes, starts, nfill[, mask_tables])
+      -> (tables, n_unique, n_consumed, out)
+    """
+    primes = tuple(int(p) for p in primes)
+    if mask_primes is not None:
+        mask_primes = tuple(int(p) for p in mask_primes)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(tables, n_unique, n_consumed, codes, starts, nfill,
+             mask_tables=None):
+        W = chunk - k + 1
+        # read ids from start offsets; windows must stay within one read
+        rid = jnp.zeros(chunk, jnp.int32).at[starts].add(1, mode="drop")
+        rid = jnp.cumsum(rid)
+        valid = (rid[:W] == rid[k - 1:]) & \
+            (jnp.arange(W, dtype=jnp.int32) + (k - 1) < nfill)
+        hashes = H.hash_windows(codes, k, hash_family)
+        if band is not None:
+            lo, hi = band
+            valid = valid & (hashes >= np.uint64(lo)) \
+                & (hashes < np.uint64(hi))
+        if mask_kind is not None:
+            counts = K._gather_counts(mask_kind, mask_primes, mask_tables,
+                                      hashes)
+            if consume_masked:
+                valid = valid & (counts >= threshold)
+            else:
+                valid = valid & (counts <= threshold)
+        d = K._dedup_batch(hashes, valid)
+        tables, min_old, any_credit = K._apply_update(kind, primes,
+                                                      tables, d)
+        new_u = d["uvalid"] & any_credit
+        n_unique = n_unique + jnp.sum(
+            jnp.where(new_u, 1, 0)).astype(jnp.uint64)
+        n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
+        out = {}
+        M = hashes.shape[0]
+        if with_event_new:
+            out["event_new"] = jnp.zeros(M, bool).at[
+                jnp.where(new_u, d["ufirst"], M)].set(True, mode="drop")
+            out["valid"] = valid
+            out["hashes"] = hashes
+        if with_bigcount:
+            triggers = d["ucnt"] - jnp.maximum(K.MAX_KCOUNT - min_old, 0)
+            sat = d["uvalid"] & (triggers > 0)
+            out["sat_total"] = jnp.sum(sat.astype(jnp.int32))
+            slots = min(K.SAT_SLOTS, M)
+            sat_idx = jnp.nonzero(sat, size=slots, fill_value=M - 1)[0]
+            out["sat_hash"] = jnp.take(d["uh"], sat_idx)
+            out["sat_triggers"] = jnp.where(
+                jnp.take(sat, sat_idx), jnp.take(triggers, sat_idx), 0)
+        return tables, n_unique, n_consumed, out
+
+    return step
+
 
 def _bucket_len(n):
     for b in _L_LADDER:
@@ -155,45 +308,56 @@ def consume_seqfile(sketch, source, mask=None, threshold=0,
     """Count every k-mer of every read; returns (n_reads, n_consumed).
 
     Mirrors Hashtable::consume_seqfile and its _with_mask / _banding
-    variants (src/oxli/hashtable.cc:125-274).
+    variants (src/oxli/hashtable.cc:125-274). Uses the flat-stream
+    pipeline: one fused jit shape for the whole file.
     """
     k = sketch.ksize()
-    batcher = Batcher(k)
-    hash_fn = make_hash_batch(k, sketch.hash_family)
-    mask_fn = None
-    if mask is not None:
-        mask_fn = make_mask_filter(mask.storage_kind, mask._primes,
-                                   int(threshold), bool(consume_masked))
-    n_reads = 0
-    n_consumed = 0
+    band_interval = None
+    if num_bands:
+        band_interval = H.compute_band_interval(num_bands, band)
+    step = make_flat_consume(
+        sketch.storage_kind, sketch._primes, k, sketch.hash_family,
+        with_bigcount=(sketch._use_bigcount
+                       and sketch.storage_kind == "byte"),
+        band=band_interval,
+        mask_kind=None if mask is None else mask.storage_kind,
+        mask_primes=None if mask is None else mask._primes,
+        threshold=int(threshold), consume_masked=bool(consume_masked))
 
-    def commit(batch):
-        nonlocal n_consumed
-        if batch is None:
-            return
-        if isinstance(batch, list):
-            for b in batch:
-                commit(b)
-            return
-        codes, lengths = batch
-        hashes, valid = hash_fn(jnp.asarray(codes), jnp.asarray(lengths))
-        if num_bands:
-            valid = _band_filter(hashes, valid, num_bands, band)
-        if mask_fn is not None:
-            valid = mask_fn(mask.tables, hashes, valid)
-        sketch._commit_device_hashes(hashes, valid)
-        n_consumed += int(jnp.sum(valid))
+    packer = FlatPacker(k)
+    n_reads = 0
+    tables = sketch.tables
+    n_unique = sketch._n_unique
+    n_consumed = jnp.zeros((), jnp.uint64)
+    pending_sat = []
+
+    def commit(chunks):
+        nonlocal tables, n_unique, n_consumed
+        for codes, starts, nfill in chunks:
+            extra = () if mask is None else (mask.tables,)
+            tables, n_unique, n_consumed, out = step(
+                tables, n_unique, n_consumed, jnp.asarray(codes),
+                jnp.asarray(starts), jnp.int32(nfill), *extra)
+            if "sat_total" in out:
+                pending_sat.append(out)
 
     for record in records_from(source):
         seq = record.cleaned_seq
         n_reads += 1
         if len(seq) >= k:
-            commit(batcher.add(seq))
+            commit(packer.add(seq))
         if callback is not None and callback_every \
                 and n_reads % callback_every == 0:
             callback(n_reads)
-    commit(batcher.flush())
-    return n_reads, n_consumed
+    tail = packer.flush()
+    if tail is not None:
+        commit([tail])
+
+    sketch.tables = tables
+    sketch._n_unique = n_unique
+    for out in pending_sat:
+        sketch._absorb_saturation(out)
+    return n_reads, int(n_consumed)
 
 
 def abundance_distribution(main, source, tracking):

@@ -262,16 +262,14 @@ class _Sketch:
     def get_median_count(self, seq):
         """(median, average, stddev) of the k-mer counts of a sequence.
 
-        Median is the medioid (sorted middle element, rounds down) —
-        reference: src/oxli/hashtable.cc:299-328.
+        Median is the medioid (sorted middle element, rounds down);
+        average/stddev accumulate in float32 exactly like the C++
+        (src/oxli/hashtable.cc:299-328) so printed digits match.
         """
-        counts = np.asarray(self.get_kmer_counts(seq), dtype=np.float64)
+        counts = self.get_counts_for_hashes(self._hashes_for_sequence(seq))
         if counts.size == 0:
             raise ValueError("no k-mer counts for this string; too short?")
-        average = float(counts.mean())
-        stddev = float(math.sqrt(((counts - average) ** 2).mean()))
-        median = int(np.sort(counts)[counts.size // 2])
-        return median, average, stddev
+        return _median_avg_stddev(counts)
 
     def median_at_least(self, seq, cutoff):
         """True if the medioid count is >= cutoff (diginorm primitive)."""
@@ -394,6 +392,22 @@ class _Sketch:
     def load(cls, filename):
         from khmer_tpu.core import oxli_io
         return oxli_io.load_sketch(cls, filename)
+
+
+def _median_avg_stddev(counts):
+    """Sequential float32 reduction matching hashtable.cc:299-328."""
+    average = np.float32(0)
+    for c in counts:
+        average = np.float32(average + np.float32(c))
+    average = np.float32(average / np.float32(counts.size))
+    stddev = np.float32(0)
+    for c in counts:
+        d = np.float32(np.float32(c) - average)
+        stddev = np.float32(stddev + np.float32(d * d))
+    stddev = np.float32(stddev / np.float32(counts.size))
+    stddev = np.float32(np.sqrt(stddev))
+    median = int(np.sort(counts)[counts.size // 2])
+    return median, float(average), float(stddev)
 
 
 class _TwoBitMixin:

@@ -1,0 +1,127 @@
+"""normalize-by-median CLI tests; oracles from the reference
+tests/test_normalize_by_median.py."""
+
+import os
+
+from khmer_tpu.io.fastx import FastxParser
+
+from .script_utils import copy_test_data, runscript
+
+
+def _seqs(path):
+    return [r.sequence for r in FastxParser(path)]
+
+
+def test_normalize_by_median(tmp_path):
+    # reference :87-105
+    infile = copy_test_data('test-abund-read-2.fa', tmp_path)
+    args = ['-C', '1', '-k', '17', infile]
+    (_, _, err) = runscript('normalize-by-median.py', args,
+                            in_directory=str(tmp_path))
+    assert 'Total number of unique k-mers: 98' in err, err
+    outfile = infile + '.keep'
+    assert os.path.exists(outfile), outfile
+    seqs = _seqs(outfile)
+    assert len(seqs) == 1, seqs
+    assert seqs[0].startswith('GGTTGACGGGGCTCAGGGGG'), seqs
+    assert "I/O Errors" not in err
+
+
+def test_normalize_by_median_2(tmp_path):
+    # reference :422-438
+    infile = copy_test_data('test-abund-read-2.fa', tmp_path)
+    args = ['-C', '2', '-k', '17', infile]
+    runscript('normalize-by-median.py', args, in_directory=str(tmp_path))
+    seqs = _seqs(infile + '.keep')
+    assert len(seqs) == 2, seqs
+    assert seqs[0].startswith('GGTTGACGGGGCTCAGGGGG'), seqs
+    assert seqs[1] == 'GGTTGACGGGGCTCAGGG', seqs
+
+
+def test_normalize_by_median_paired(tmp_path):
+    # reference :441-458
+    infile = copy_test_data('test-abund-read-paired.fa', tmp_path)
+    args = ['-C', '1', '-p', '-k', '17', infile]
+    runscript('normalize-by-median.py', args, in_directory=str(tmp_path))
+    seqs = _seqs(infile + '.keep')
+    assert len(seqs) == 2, seqs
+    assert seqs[0].startswith('GGTTGACGGGGCTCAGGGGG'), seqs
+    assert seqs[1].startswith('GGTTGACGGGGCTCAGGG'), seqs
+
+
+def test_normalize_by_median_paired_fq(tmp_path):
+    # reference :460-484
+    infile = copy_test_data('test-abund-read-paired.fq', tmp_path)
+    args = ['-C', '20', '-p', '-k', '17', infile]
+    runscript('normalize-by-median.py', args, in_directory=str(tmp_path))
+    outfile = infile + '.keep'
+    seqs = _seqs(outfile)
+    assert len(seqs) == 6, len(seqs)
+    assert seqs[0].startswith('GGTTGACGGGGCTCAGGGGG'), seqs
+    assert seqs[1].startswith('GGTTGACGGGGCTCAGGG'), seqs
+    names = [r.name for r in FastxParser(outfile)]
+    assert len(names) == 6, names
+    assert '895:1:37:17593:9954 1::FOO' in names, names
+    assert '895:1:37:17593:9954 2::FOO' in names, names
+
+
+def test_normalize_by_median_impaired(tmp_path):
+    # reference :486-497
+    infile = copy_test_data('test-abund-read-impaired.fa', tmp_path)
+    args = ['-C', '1', '-p', '-k', '17', infile]
+    status, _, err = runscript('normalize-by-median.py', args,
+                               in_directory=str(tmp_path), fail_ok=True)
+    assert status != 0
+    assert 'ERROR: Unpaired reads ' in err, err
+
+
+def test_normalize_by_median_cutoff_range(tmp_path):
+    # reference :516-529
+    infile = copy_test_data('test-abund-read-2.fa', tmp_path)
+    hashfile = str(tmp_path / 'test-out.ct')
+    args = ['-C', '256', '-k 8', '--savegraph', hashfile, infile]
+    (status, out, err) = runscript('normalize-by-median.py', args,
+                                   in_directory=str(tmp_path),
+                                   fail_ok=True)
+    assert status == 1, (out, err)
+    assert "ERROR: khmer only supports 0 <= cutoff < 256" in err
+
+
+def test_diginorm_basic_functionality_1(tmp_path):
+    # reference :637-661
+    infile = copy_test_data('dn-test-all-paired-all-keep.fa', tmp_path)
+    args = ['-C', '1', '-p', '-k', '15', infile]
+    runscript('normalize-by-median.py', args, in_directory=str(tmp_path))
+    seqs = set(r.name for r in FastxParser(infile + '.keep'))
+    assert seqs == set(['a/1', 'a/2', 'b/1', 'b/2',
+                        'c/1', 'c/2', 'd/1', 'd/2']), seqs
+
+
+def test_diginorm_basic_functionality_2(tmp_path):
+    # reference :663-689
+    infile = copy_test_data('dn-test-all-paired-all-keep.fa', tmp_path)
+    args = ['-C', '1', '--force_single', '-k', '15', infile]
+    runscript('normalize-by-median.py', args, in_directory=str(tmp_path))
+    seqs = set(r.name for r in FastxParser(infile + '.keep'))
+    assert seqs == set(['a/1', 'a/2', 'b/2', 'c/1', 'd/2']), seqs
+
+
+def test_normalize_by_median_empty_file(tmp_path):
+    # reference :74-84
+    infile = copy_test_data('empty-file', tmp_path)
+    args = ['-C', '1', '-k', '17', infile]
+    status, out, err = runscript('normalize-by-median.py', args,
+                                 in_directory=str(tmp_path), fail_ok=True)
+    assert 'ERROR:' in err, err
+    assert 'is empty' in err, err
+
+
+def test_normalize_by_median_savegraph(tmp_path):
+    from khmer_tpu import load_countgraph
+
+    infile = copy_test_data('test-abund-read-2.fa', tmp_path)
+    ct = str(tmp_path / 'saved.ct')
+    args = ['-C', '1', '-k', '17', '-s', ct, infile]
+    runscript('normalize-by-median.py', args, in_directory=str(tmp_path))
+    g = load_countgraph(ct)
+    assert g.ksize() == 17
