@@ -53,12 +53,19 @@ def _pin_default_device():
 
     The axon PJRT plugin routes numpy->jax transfers to the TPU even when
     JAX_PLATFORMS=cpu; pinning the default device avoids pathological
-    (~minutes) constant fetches. When the TPU is the default backend
-    (production), no pin is applied.
+    (~minutes) constant fetches. Only applies when the CPU platform is
+    explicitly selected — and without initializing backends otherwise,
+    so callers can still reconfigure device counts (see
+    parallel.virtual_devices).
     """
+    import os
+
     try:
-        if jax.default_backend() == "cpu":
-            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        plats = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+        if plats.split(",")[0] == "cpu":
+            jax.config.update("jax_default_device",
+                              jax.devices("cpu")[0])
     except Exception:
         pass
 

@@ -116,12 +116,20 @@ def _scatter_set(table, idx, values, active):
 # --------------------------------------------------------------------------
 
 
-def _byte_table_update(table, prime, d):
-    """ByteStorage: saturate at 255 (reference storage.hh:571-624)."""
+def _byte_table_update(table, prime, d, lo=None, span=None):
+    """ByteStorage: saturate at 255 (reference storage.hh:571-624).
+
+    With lo/span, only bins in [lo, lo+span) are updated against a
+    shard-local `table` of length span (bucket-range table sharding).
+    """
     M = d["uh"].shape[0]
     bins = d["uh"] % _u64(prime)
+    active = d["uvalid"]
+    if lo is not None:
+        active = active & (bins >= lo) & (bins < lo + _u64(span))
+        bins = jnp.where(active, bins - lo, 0)
     bins_s, perm, v_s, bwin, bseg = _group_by_bin(bins, d["ufirst"],
-                                                  d["uvalid"])
+                                                  active)
     cnt_s = jnp.take(d["ucnt"], perm)
     old_s = jnp.take(table, jnp.where(v_s, bins_s, _u64(0))).astype(jnp.int32)
     tot_per_bin = jax.ops.segment_sum(cnt_s, bseg, num_segments=M,

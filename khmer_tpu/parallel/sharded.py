@@ -1,0 +1,202 @@
+"""Multi-chip sharded counting over a jax.sharding.Mesh.
+
+TPU-native replacement for khmer's shared-memory parallelism
+(threads + atomics, reference src/oxli/read_parsers.cc:334,
+storage.hh:183,600) and its hash-banding work decomposition
+(src/oxli/kmer_hash.cc:261-275):
+
+- the read stream (flat code chunk) is sharded across devices ("data
+  parallel"); each device hashes its slice, with a k-1 halo fetched
+  from the right neighbor via ppermute (sequence-sharding idiom);
+- each sketch table is sharded by *bucket range* across devices
+  (tensor-parallel analog of khmer's banding; bands compose exactly,
+  reference tests/test_banding.py);
+- hashes are all-gathered over ICI; every device updates only the
+  bucket range it owns, so the serial scatter work is split D ways;
+- per-event new-k-mer credits are OR-reduced (psum on one-hot bools)
+  so n_unique keeps the reference's exact sequential semantics.
+
+Works identically on a virtual CPU mesh (tests / dry-run) and real
+TPU slices.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from khmer_tpu.core import sketch_kernels as K
+from khmer_tpu.ops import hashing as H
+
+AXIS = "shard"
+
+
+def make_mesh(devices=None):
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _pad_to(n, m):
+    return ((n + m - 1) // m) * m
+
+
+class ShardedCountgraph:
+    """Countgraph with bucket-range-sharded tables over a device mesh."""
+
+    storage_kind = "byte"
+    hash_family = "twobit"
+
+    def __init__(self, ksize, starting_size, n_tables, mesh,
+                 primes=None):
+        self.mesh = mesh
+        self.D = mesh.devices.size
+        self._ksize = int(ksize)
+        if primes is None:
+            primes = K.get_n_primes_near_x(int(n_tables),
+                                           int(starting_size))
+        self._primes = tuple(int(p) for p in primes)
+        # shard boundaries: table t device d owns [d*S_t, (d+1)*S_t)
+        self._shard_sizes = tuple(_pad_to(p, self.D) // self.D
+                                  for p in self._primes)
+        sharding = NamedSharding(mesh, P(AXIS))
+        self.tables = tuple(
+            jax.device_put(jnp.zeros(s * self.D, jnp.uint8), sharding)
+            for s in self._shard_sizes)
+        self._n_unique = jnp.zeros((), jnp.uint64)
+
+    def ksize(self):
+        return self._ksize
+
+    def hashsizes(self):
+        return list(self._primes)
+
+    def n_unique_kmers(self):
+        return int(self._n_unique)
+
+    def consume_chunk(self, codes, starts, nfill):
+        """Commit one flat chunk (see pipeline.FlatPacker) to the
+        sharded tables."""
+        fn = make_sharded_consume(self._primes, self._shard_sizes,
+                                  self._ksize, len(codes), self.mesh)
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        codes = jax.device_put(jnp.asarray(codes), sharding)
+        starts = jax.device_put(jnp.asarray(starts),
+                                NamedSharding(self.mesh, P()))
+        self.tables, self._n_unique, n_cons = fn(
+            self.tables, self._n_unique, codes, starts,
+            jnp.int32(nfill))
+        return int(n_cons)
+
+    def get_counts(self, hashes):
+        """Min-over-tables counts for an array of hashes."""
+        fn = make_sharded_get(self._primes, self._shard_sizes, self.mesh,
+                              int(hashes.shape[0]))
+        return np.asarray(fn(self.tables, jnp.asarray(hashes)))
+
+    def to_local_countgraph(self):
+        """Gather shards into a single-device Countgraph (for OXLI
+        save or comparison)."""
+        from khmer_tpu.core.sketch import Countgraph
+
+        g = Countgraph(self._ksize, 1, 0, primes=self._primes)
+        tabs = []
+        for t, p in enumerate(self._primes):
+            full = np.asarray(self.tables[t])[:p]
+            tabs.append(jnp.asarray(full))
+        g.tables = tuple(tabs)
+        g._n_unique = self._n_unique
+        return g
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_consume(primes, shard_sizes, k, chunk, mesh):
+    """Fused sharded consume step over the mesh."""
+    D = mesh.devices.size
+    local = chunk // D
+    W = chunk - k + 1
+
+    def step(tables, n_unique, codes, starts, nfill):
+        def body(tables, n_unique, codes_local, starts, nfill):
+            d_idx = jax.lax.axis_index(AXIS)
+            # halo: first k-1 bases of the right neighbor
+            halo = jax.lax.ppermute(
+                codes_local[: k - 1], AXIS,
+                [(i, (i - 1) % D) for i in range(D)])
+            ext = jnp.concatenate([codes_local, halo])
+            _, f, r = H.rolling_hash_windows(ext[None, :], k)
+            local_h = jnp.minimum(f, r)[0][:local]
+            # gather the full hash stream (ICI all-gather)
+            hashes = jax.lax.all_gather(local_h, AXIS, tiled=True)[:W]
+            # windows must stay within one read and inside the fill
+            rid = jnp.zeros(chunk, jnp.int32).at[starts].add(
+                1, mode="drop")
+            rid = jnp.cumsum(rid)
+            valid = (rid[:W] == rid[k - 1:]) & \
+                (jnp.arange(W, dtype=jnp.int32) + (k - 1) < nfill)
+            d = K._dedup_batch(hashes, valid)
+            M = hashes.shape[0]
+            min_old = jnp.full(M, jnp.int32(K.MAX_KCOUNT))
+            any_credit = jnp.zeros(M, bool)
+            new_tables = []
+            for t, p in enumerate(primes):
+                S = shard_sizes[t]
+                lo = (d_idx * S).astype(jnp.uint64)
+                tbl, old_u, credit_u = K._byte_table_update(
+                    tables[t], p, d, lo=lo, span=S)
+                new_tables.append(tbl)
+                min_old = jnp.minimum(min_old, old_u)
+                any_credit = any_credit | credit_u
+            # cross-device join of per-event stats
+            any_credit = jax.lax.psum(any_credit.astype(jnp.int32),
+                                      AXIS) > 0
+            min_old = jax.lax.pmin(min_old, AXIS)
+            new_u = d["uvalid"] & any_credit
+            n_unique = n_unique + jnp.sum(
+                jnp.where(new_u, 1, 0)).astype(jnp.uint64)
+            n_cons = jnp.sum(valid).astype(jnp.uint64)
+            return tuple(new_tables), n_unique, n_cons
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(tuple(P(AXIS) for _ in primes), P(), P(AXIS),
+                      P(), P()),
+            out_specs=(tuple(P(AXIS) for _ in primes), P(), P()),
+            check_vma=False,
+        )(tables, n_unique, codes, starts, nfill)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_get(primes, shard_sizes, mesh, n):
+    D = mesh.devices.size
+
+    def get(tables, hashes):
+        def body(tables, hashes):
+            d_idx = jax.lax.axis_index(AXIS)
+            counts = jnp.full(hashes.shape, jnp.uint16(K.MAX_KCOUNT))
+            for t, p in enumerate(primes):
+                S = shard_sizes[t]
+                lo = (d_idx * S).astype(jnp.uint64)
+                bins = hashes % np.uint64(p)
+                mine = (bins >= lo) & (bins < lo + np.uint64(S))
+                c = jnp.take(tables[t],
+                             jnp.where(mine, bins - lo, 0),
+                             mode="clip").astype(jnp.uint16)
+                c = jnp.where(mine, c, jnp.uint16(K.MAX_KCOUNT))
+                # owner's value wins: min across devices
+                c = jax.lax.pmin(c.astype(jnp.int32), AXIS)
+                counts = jnp.minimum(counts, c.astype(jnp.uint16))
+            return counts
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(tuple(P(AXIS) for _ in primes), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(tables, hashes)
+
+    return jax.jit(get)

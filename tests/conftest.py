@@ -1,21 +1,19 @@
 """Test configuration: force a virtual 8-device CPU mesh.
 
-Tests never require TPU hardware; the multi-chip sharding paths run on
-8 virtual CPU devices (the driver separately dry-runs the real mesh).
-Must set XLA flags before jax is imported anywhere.
+Tests never require TPU hardware; multi-chip sharding paths run on 8
+virtual CPU devices (the driver separately dry-runs the real mesh).
+
+The axon environment injects a sitecustomize that registers the
+tunneled-TPU PJRT plugin at interpreter startup and forces
+jax_platforms="axon,cpu" — overriding JAX_PLATFORMS env and freezing
+XLA_FLAGS. The reliable override is the jax config API + a backend
+reset (see khmer_tpu.parallel.virtual_devices).
 """
 
 import os
 
-# the axon environment pre-sets JAX_PLATFORMS=axon (the tunneled TPU);
-# tests must override it — eager dispatch over the tunnel is ~60ms/op.
 os.environ["JAX_PLATFORMS"] = os.environ.get("KHMER_TPU_TEST_PLATFORM",
                                              "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 # persistent compile cache makes repeat test runs fast
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.dirname(
@@ -25,11 +23,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import pytest  # noqa: E402
 
-# The axon plugin routes numpy->jax transfers to the tunneled TPU even when
-# JAX_PLATFORMS=cpu; pin the default device so all test arrays stay on CPU.
+# Must run before khmer_tpu (whose import touches jax backends): inline
+# equivalent of khmer_tpu.parallel.virtual_devices.force_cpu_devices.
 import jax  # noqa: E402
+from jax._src import xla_bridge as _xb  # noqa: E402
 
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+jax.config.update("jax_platforms", "cpu")
+try:
+    _xb._clear_backends()
+except Exception:
+    pass
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_default_device", jax.devices()[0])
 
 
 REFERENCE_DATA = "/root/reference/tests/test-data"
