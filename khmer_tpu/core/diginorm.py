@@ -1,9 +1,10 @@
-"""Digital normalization (diginorm) — batched, sequential-exact.
+"""Digital normalization & streaming-trim support — batched,
+sequential-exact.
 
-The reference algorithm (scripts/normalize-by-median.py:155-179) is
-strictly sequential: each kept read updates the countgraph, changing
-later keep/discard decisions. The TPU engine restores exactness with a
-two-level scheme per window of read bundles:
+The reference algorithms (scripts/normalize-by-median.py:155-179,
+scripts/trim-low-abund.py:162-238) are strictly sequential: each
+consumed read updates the countgraph, changing later decisions. The
+TPU engine restores exactness per *window* of read bundles:
 
   1. one device call hashes every read in the window and gathers its
      *per-table* bin counts from the current sketch;
@@ -12,9 +13,9 @@ two-level scheme per window of read bundles:
      effective count is min_t(saturate(base_t + delta_t)), which equals
      what the sequential reference would see — including
      false-positive-induced decisions;
-  3. kept reads' hashes are committed to the device sketch in stream
-     order in one batched update at window end (n_unique/bigcount
-     statistics remain path-exact).
+  3. consumed reads' hashes are committed to the device sketch in
+     stream order in one batched update at window end
+     (n_unique/bigcount statistics remain path-exact).
 """
 
 import functools
@@ -64,20 +65,41 @@ def make_pertable_counts(kind, primes, k, hash_family):
     return fn
 
 
-class BatchedNormalizer:
-    """Window-batched exact diginorm engine."""
+class SeqWindow:
+    """Sequential-exact count evaluation over a window of sequences.
 
-    def __init__(self, countgraph, desired_coverage, window=512):
-        self.graph = countgraph
-        self.C = int(desired_coverage)
-        self.window = window
-        self.k = countgraph.ksize()
-        self._primes = tuple(countgraph._primes)
-        self._nib_max = {"nibble": 15, "bit": 1}.get(
-            countgraph.storage_kind, MAX_KCOUNT)
+    One device call gathers per-table base counts for every sequence;
+    effective counts (reflecting consumes committed earlier within the
+    window, tracked via a (table, bin) -> adds delta map) then equal
+    what the sequential reference would observe at each stream point.
+    """
 
-    def _eval_window(self, seqs):
-        """hashes + per-table base counts for each sequence."""
+    def __init__(self, graph, seqs):
+        self.graph = graph
+        self.k = graph.ksize()
+        self._primes = tuple(graph._primes)
+        self._sat = {"nibble": 15, "bit": 1}.get(
+            graph.storage_kind, MAX_KCOUNT)
+        self._delta = {}
+        self._commit = []
+        self._data = []
+        if seqs:
+            hashes, per, lengths = self._eval(seqs)
+            T = len(self._primes)
+            for s in range(len(seqs)):
+                nwin = int(lengths[s]) - self.k + 1
+                if nwin <= 0:
+                    self._data.append((None, None, None, 0))
+                    continue
+                h = hashes[s, :nwin]
+                base = per[:, s, :nwin].astype(np.int32)
+                keys = np.empty((T, nwin), dtype=np.uint64)
+                for t in range(T):
+                    keys[t] = (h % np.uint64(self._primes[t])
+                               + (np.uint64(t) << np.uint64(60)))
+                self._data.append((h, base, keys, nwin))
+
+    def _eval(self, seqs):
         k = self.k
         fn = make_pertable_counts(self.graph.storage_kind, self._primes,
                                   k, self.graph.hash_family)
@@ -93,6 +115,58 @@ class BatchedNormalizer:
                                 jnp.asarray(lengths))
         return (np.asarray(hashes), np.asarray(per), lengths)
 
+    def counts(self, idx):
+        """Effective min-over-tables counts of sequence idx, as the
+        sequential reference would see them right now."""
+        h, base, keys, nwin = self._data[idx]
+        if nwin == 0:
+            return np.zeros(0, np.int32)
+        counts = base
+        if self._delta:
+            adj = np.zeros_like(base)
+            delta = self._delta
+            flat = keys.ravel()
+            for j in range(flat.shape[0]):
+                d = delta.get(int(flat[j]))
+                if d:
+                    adj.flat[j] = d
+            counts = np.minimum(base + adj, self._sat)
+        return counts.min(axis=0)
+
+    def median(self, idx):
+        """Medioid effective count (reference get_median_count)."""
+        eff = self.counts(idx)
+        if eff.size == 0:
+            raise ValueError("no k-mer counts for this string; too short?")
+        return int(np.sort(eff)[eff.size // 2])
+
+    def consume(self, idx):
+        """Record sequence idx as consumed (affects later counts)."""
+        h, base, keys, nwin = self._data[idx]
+        if nwin == 0:
+            return
+        self._commit.append(h)
+        delta = self._delta
+        for key in keys.ravel():
+            key = int(key)
+            delta[key] = delta.get(key, 0) + 1
+
+    def flush(self):
+        """Apply all consumes to the device sketch, in stream order."""
+        if self._commit:
+            self.graph._commit_hashes(np.concatenate(self._commit))
+            self._commit = []
+
+
+class BatchedNormalizer:
+    """Window-batched exact diginorm engine."""
+
+    def __init__(self, countgraph, desired_coverage, window=512):
+        self.graph = countgraph
+        self.C = int(desired_coverage)
+        self.window = window
+        self.k = countgraph.ksize()
+
     def process_window(self, bundles):
         """bundles: list of lists of records (1 or 2 reads each).
 
@@ -102,66 +176,31 @@ class BatchedNormalizer:
         n = len(bundles)
         kept_out = [[] for _ in range(n)]
         seqs = []
-        seq_bundle = []
-        for i, bundle in enumerate(bundles):
+        for bundle in bundles:
             for r in bundle:
                 seqs.append(r.cleaned_seq)
-                seq_bundle.append(i)
         if not seqs:
             return kept_out
-        hashes, per, lengths = self._eval_window(seqs)
+        win = SeqWindow(self.graph, seqs)
 
-        k = self.k
         C = self.C
-        T = len(self._primes)
-        primes = self._primes
-        sat = self._nib_max
-        delta = {}
-        commit = []
-
-        # precompute per-seq host data
-        seq_data = []
-        for s in range(len(seqs)):
-            nwin = int(lengths[s]) - k + 1
-            h = hashes[s, :nwin]
-            base = per[:, s, :nwin].astype(np.int32)  # [T, nwin]
-            bins = np.empty((T, nwin), dtype=np.uint64)
-            for t in range(T):
-                bins[t] = h % np.uint64(primes[t])
-            keys = bins + (np.arange(T, dtype=np.uint64)[:, None]
-                           << np.uint64(60))
-            seq_data.append((h, base, keys, nwin))
-
         si = 0
         for i, bundle in enumerate(bundles):
-            datas = seq_data[si: si + len(bundle)]
+            idxs = list(range(si, si + len(bundle)))
             si += len(bundle)
-            # keep iff any read's median < C  (coverages_at_least -> all)
+            # keep iff any read's median < C (coverages_at_least -> all)
             all_at_least = True
-            for (h, base, keys, nwin) in datas:
-                if nwin <= 0:
+            for idx in idxs:
+                eff = win.counts(idx)
+                if eff.size == 0:
                     continue
-                counts = base
-                if delta:
-                    adj = np.zeros_like(base)
-                    flat = keys.ravel()
-                    for j, key in enumerate(flat):
-                        d = delta.get(int(key))
-                        if d:
-                            adj.flat[j] = d
-                    counts = np.minimum(base + adj, sat)
-                eff = counts.min(axis=0)
-                min_req = int(0.5 + nwin / 2.0)
+                min_req = int(0.5 + eff.size / 2.0)
                 if int((eff >= C).sum()) < min_req:
                     all_at_least = False
                     break
             if not all_at_least:
                 kept_out[i] = list(bundle)
-                for (h, base, keys, nwin) in datas:
-                    commit.append(h)
-                    for key in keys.ravel():
-                        key = int(key)
-                        delta[key] = delta.get(key, 0) + 1
-        if commit:
-            self.graph._commit_hashes(np.concatenate(commit))
+                for idx in idxs:
+                    win.consume(idx)
+        win.flush()
         return kept_out
