@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Merge multiple .pmap subset files into one merged pmap.
+
+Mirrors the reference scripts/merge-partitions.py.
+
+% merge-partitions.py <graphbase>
+"""
+
+import glob
+import os
+import sys
+import textwrap
+
+from khmer_tpu import Nodegraph
+from khmer_tpu.cli.args import (DEFAULT_K, KhmerArgumentParser,
+                                sanitize_help)
+from khmer_tpu.utils.kfile import check_input_files, check_space
+
+
+def get_parser():
+    epilog = """\
+    Take the ${graphbase}.subset.#.pmap files and merge them all into a
+    single ${graphbase}.pmap.merged file for
+    :program:`annotate-partitions.py` to use.
+    """
+    parser = KhmerArgumentParser(
+        description="Merge partition map '.pmap' files.",
+        epilog=textwrap.dedent(epilog), citations=['graph'])
+    parser.add_argument('graphbase', help='basename for input and output '
+                        'files')
+    parser.add_argument('--keep-subsets', dest='remove_subsets',
+                        default=True, action='store_false',
+                        help='Keep individual subsets')
+    parser.add_argument('--ksize', '-k', type=int, default=DEFAULT_K,
+                        help='k-mer size (default: %d)' % DEFAULT_K)
+    parser.add_argument('-f', '--force', default=False,
+                        action='store_true')
+    return parser
+
+
+def main():
+    args = sanitize_help(get_parser()).parse_args()
+
+    output_file = args.graphbase + '.pmap.merged'
+    pmap_files = glob.glob(args.graphbase + '.subset.*.pmap')
+
+    print('loading %d pmap files (first one: %s)' %
+          (len(pmap_files), pmap_files[0]), file=sys.stderr)
+
+    ksize = args.ksize
+    nodegraph = Nodegraph(ksize, 1, 1)
+
+    for _ in pmap_files:
+        check_input_files(_, args.force)
+
+    check_space(pmap_files, args.force)
+
+    for pmap_file in pmap_files:
+        print('merging', pmap_file, file=sys.stderr)
+        nodegraph.merge_subset_from_disk(pmap_file)
+
+    print('saving merged to', output_file, file=sys.stderr)
+    nodegraph.save_partitionmap(output_file)
+
+    if args.remove_subsets:
+        print('removing pmap files', file=sys.stderr)
+        for pmap_file in pmap_files:
+            os.unlink(pmap_file)
+
+
+if __name__ == '__main__':
+    main()

@@ -67,6 +67,40 @@ class HashgraphMixin:
         self.all_tags = set()
         self.stop_tags = set()
         self._tag_density = DEFAULT_TAG_DENSITY
+        self._partition = None
+
+    @property
+    def partition(self):
+        """The graph's own SubsetPartition (reference Hashgraph keeps
+        one for merge/annotate operations)."""
+        if self._partition is None:
+            from khmer_tpu.core.partition import SubsetPartition
+
+            self._partition = SubsetPartition(self)
+        return self._partition
+
+    def merge_subset(self, subset):
+        self.partition.merge(subset)
+
+    def merge_subset_from_disk(self, filename):
+        self.partition.merge_from_disk(filename)
+
+    def output_partitions(self, infile, outfile,
+                          output_unassigned=False):
+        return self.partition.output_partitioned_file(
+            infile, outfile, output_unassigned)
+
+    def load_partitionmap(self, filename):
+        self.partition.load_partitionmap(filename)
+
+    def save_partitionmap(self, filename):
+        self.partition.save_partitionmap(filename)
+
+    def count_partitions(self):
+        return self.partition.count_partitions()
+
+    def assign_partition_id(self, kmer, tagged_kmers):
+        return self.partition.assign_partition_id(kmer, tagged_kmers)
 
     # -- tag density / sets ----------------------------------------------
 
@@ -415,4 +449,7 @@ class HashgraphMixin:
     def consume_partitioned_fasta(self, filename):
         from khmer_tpu.core.partition import consume_partitioned_fasta
 
-        return consume_partitioned_fasta(self, filename)
+        total_reads, n_consumed, subset = consume_partitioned_fasta(
+            self, filename)
+        self._partition = subset
+        return total_reads, n_consumed

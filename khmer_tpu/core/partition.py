@@ -1,22 +1,468 @@
-"""Tag-graph partitioning (connected components) — placeholder.
+"""Tag-graph partitioning — connected components over the sparse tag
+graph (reference: src/oxli/subset.cc, include/oxli/subset.hh).
 
-Full implementation of the reference SubsetPartition
-(src/oxli/subset.cc) lands with the partitioning milestone:
-find_all_tags BFS with collective frontier exchange, pmap save/load,
-merge, and annotation.
+The reference's flagship scale-out feature: BFS from each tag through
+the implicit de Bruijn graph until other tags are hit (bounded breadth
+2*tag_density+1), then union-find merging of tag partitions; work is
+decomposed into tag-range subsets whose partition maps (.pmap files)
+merge afterwards.
+
+TPU design: the graph is read-only during partitioning, so BFS runs for
+many start tags concurrently — each wave batches the 8-neighbor
+membership probes of every active traversal into one device call, while
+exact FIFO bookkeeping (visit order, breadth caps, big-traversal
+cutoffs) stays on host. The union-find mirrors the reference's
+pointer-aliasing structure (subset.cc:630-788) so partition IDs come
+out identical.
 """
+
+import struct
+
+import numpy as np
+
+from khmer_tpu.ops import hashing as H
+
+BIG_TRAVERSALS_ARE = 200  # reference: subset.cc:54
+DEFAULT_BFS_BATCH = 256
+
+
+class _Box:
+    """A PartitionID 'pointer' (aliasable box)."""
+
+    __slots__ = ("pid",)
+
+    def __init__(self, pid):
+        self.pid = pid
+
+    def __repr__(self):
+        return "<pid %d>" % self.pid
+
+
+from collections import deque
+
+
+class _Traversal:
+    """Host state of one find_all_tags BFS (reference subset.cc:213)."""
+
+    __slots__ = ("start", "queue", "keeper", "tagged", "first",
+                 "cur_breadth", "done", "aborted")
+
+    def __init__(self, f, r):
+        self.start = (f, r)
+        self.queue = deque([(f, r, 0)])
+        self.keeper = set()
+        self.tagged = set()
+        self.first = True
+        self.cur_breadth = 0
+        self.done = False
+        self.aborted = False
+
+
+def find_all_tags_batch(graph, starts, break_on_stop_tags=False,
+                        stop_big_traversals=False):
+    """Run find_all_tags for many start k-mers concurrently.
+
+    starts: list of (f, r) tuples. Returns a list of tagged-k-mer sets
+    identical to sequential reference runs.
+    """
+    all_tags = graph.all_tags
+    stop_tags = graph.stop_tags
+    max_breadth = 2 * graph._tag_density + 1
+
+    travs = [_Traversal(np.uint64(f), np.uint64(r)) for f, r in starts]
+    active = list(range(len(travs)))
+
+    while active:
+        # sequential walk of each traversal's queue prefix; collect
+        # nodes that need neighbor probes
+        probe_owner = []
+        probe_f = []
+        probe_r = []
+        for ti in active:
+            tv = travs[ti]
+            # consume queue entries until one survives (needs probe) or
+            # the queue drains; survivors are batched level-style but
+            # children append in exact FIFO order below.
+            while tv.queue:
+                if stop_big_traversals and \
+                        len(tv.keeper) > BIG_TRAVERSALS_ARE:
+                    tv.tagged.clear()
+                    tv.queue.clear()
+                    tv.done = True
+                    tv.aborted = True
+                    break
+                f, r, breadth = tv.queue[0]
+                c = int(min(f, r))
+                if c in tv.keeper:
+                    tv.queue.popleft()
+                    continue
+                if break_on_stop_tags and c in stop_tags:
+                    tv.queue.popleft()
+                    continue
+                tv.keeper.add(c)
+                if not tv.first and c in all_tags:
+                    tv.tagged.add(c)
+                    tv.queue.popleft()
+                    continue
+                if breadth > tv.cur_breadth:
+                    tv.cur_breadth = breadth
+                if breadth >= max_breadth:
+                    # NOTE: like the reference, this path does not clear
+                    # `first` (continue skips the loop tail)
+                    tv.queue.popleft()
+                    continue
+                # needs a probe: suspend here
+                break
+            if tv.queue and not tv.done:
+                f, r, breadth = tv.queue.popleft()
+                probe_owner.append((ti, breadth))
+                probe_f.append(f)
+                probe_r.append(r)
+                tv.first = False
+            else:
+                tv.done = True
+
+        if not probe_owner:
+            break
+        nf, nr, nc, present = _probe(graph, probe_f, probe_r)
+        for i, (ti, breadth) in enumerate(probe_owner):
+            tv = travs[ti]
+            # children in reference order: right A,T,C,G then left
+            for j in range(8):
+                if present[i, j] and int(nc[i, j]) not in tv.keeper:
+                    tv.queue.append((nf[i, j], nr[i, j], breadth + 1))
+        active = [ti for ti in range(len(travs)) if not travs[ti].done
+                  or travs[ti].queue]
+
+    return [tv.tagged for tv in travs]
+
+
+def _probe(graph, fs, rs):
+    n = len(fs)
+    pad = max(((n + 63) // 64) * 64, 64)
+    pf = np.zeros(pad, np.uint64)
+    pr = np.zeros(pad, np.uint64)
+    pf[:n] = fs
+    pr[:n] = rs
+    nf, nr, nc, present = graph.neighbors_batch(pf, pr)
+    return (np.asarray(nf)[:n], np.asarray(nr)[:n],
+            np.asarray(nc)[:n], np.asarray(present)[:n])
+
+
+def find_all_tags(graph, f, r, break_on_stop_tags=False,
+                  stop_big_traversals=False):
+    return find_all_tags_batch(graph, [(f, r)], break_on_stop_tags,
+                               stop_big_traversals)[0]
 
 
 class SubsetPartition:
+    """Union-find partition map over tags (reference subset.hh:59)."""
+
     def __init__(self, graph):
         self.graph = graph
-        raise NotImplementedError(
-            "partitioning lands in the partition milestone")
+        self.next_partition_id = 2  # reference: subset.cc:85
+        self.partition_map = {}     # tag -> _Box or None
+        self.reverse_pmap = {}      # pid -> set of _Box (id-keyed)
 
+    # -- core union-find (mirrors subset.cc:630-788) ----------------------
 
-def find_all_tags(graph, f, r):
-    raise NotImplementedError
+    def set_partition_id(self, kmer, pid):
+        if isinstance(kmer, str):
+            kmer = self.graph.hash(kmer)
+        s = self.reverse_pmap.get(pid)
+        if s is None:
+            pp = _Box(pid)
+            self.reverse_pmap[pid] = {pp}
+        else:
+            pp = next(iter(s))
+        self.partition_map[int(kmer)] = pp
+        if self.next_partition_id <= pid:
+            self.next_partition_id = pid + 1
+
+    def assign_partition_id(self, kmer, tagged_kmers):
+        if tagged_kmers:
+            pp = self._join_partitions_by_tags(tagged_kmers, kmer)
+            return pp.pid
+        else:
+            self.partition_map.pop(kmer, None)
+            return 0
+
+    def _join_partitions_by_tags(self, tagged_kmers, kmer):
+        this_pp = None
+        for t in tagged_kmers:
+            this_pp = self.partition_map.get(t)
+            if this_pp is not None:
+                break
+
+        if this_pp is None:
+            this_pp = _Box(self.next_partition_id)
+            self.next_partition_id += 1
+            self.reverse_pmap[this_pp.pid] = {this_pp}
+
+        for t in tagged_kmers:
+            if t not in self.partition_map:
+                self.partition_map[t] = this_pp
+            else:
+                pp_id = self.partition_map[t]
+                if pp_id is None:
+                    self.partition_map[t] = this_pp
+                elif pp_id.pid != this_pp.pid:
+                    this_pp = self._merge_two_partitions(this_pp, pp_id)
+
+        self.partition_map[kmer] = this_pp
+        return this_pp
+
+    def _merge_two_partitions(self, the_pp, merge_pp):
+        s = self.reverse_pmap[the_pp.pid]
+        t = self.reverse_pmap[merge_pp.pid]
+        if len(s) < len(t):
+            s, t = t, s
+            the_pp, merge_pp = merge_pp, the_pp
+        del self.reverse_pmap[merge_pp.pid]
+        for box in t:
+            box.pid = the_pp.pid
+            s.add(box)
+        return the_pp
+
+    def join_partitions(self, orig, join):
+        if orig == join:
+            return orig
+        if orig == 0 or join == 0:
+            return 0
+        if orig not in self.reverse_pmap or join not in self.reverse_pmap:
+            return 0
+        orig_pp = next(iter(self.reverse_pmap[orig]))
+        join_pp = next(iter(self.reverse_pmap[join]))
+        self._merge_two_partitions(orig_pp, join_pp)
+        return orig
+
+    def get_partition_id(self, kmer):
+        if isinstance(kmer, str):
+            kmer = self.graph.hash(kmer)
+        pp = self.partition_map.get(int(kmer))
+        return pp.pid if pp is not None else 0
+
+    def get_new_partition(self):
+        pp = _Box(self.next_partition_id)
+        self.next_partition_id += 1
+        return pp
+
+    # -- partitioning driver ----------------------------------------------
+
+    def do_partition(self, first_kmer=0, last_kmer=0,
+                     break_on_stop_tags=False, stop_big_traversals=False,
+                     batch=DEFAULT_BFS_BATCH):
+        """BFS + merge over a sorted tag range (subset.cc:501-553)."""
+        tags = sorted(self.graph.all_tags)
+        lo = tags.index(first_kmer) if first_kmer else 0
+        hi = tags.index(last_kmer) if last_kmer else len(tags)
+        span = tags[lo:hi]
+        k = self.graph.ksize()
+
+        for start in range(0, len(span), batch):
+            chunk = span[start:start + batch]
+            starts = []
+            for tag in chunk:
+                s = H.reverse_hash(tag, k)
+                _, f, r = H._hash_scalar(s, k)
+                starts.append((f, r))
+            tagged_sets = find_all_tags_batch(
+                self.graph, starts, break_on_stop_tags,
+                stop_big_traversals)
+            for tag, tagged in zip(chunk, tagged_sets):
+                self.assign_partition_id(tag, tagged)
+
+    # -- reporting --------------------------------------------------------
+
+    def count_partitions(self):
+        """(n_partitions, n_unassigned) — subset.cc:89-113."""
+        partitions = set()
+        n_unassigned = 0
+        for tag, pp in self.partition_map.items():
+            if pp is not None:
+                partitions.add(pp.pid)
+            else:
+                n_unassigned += 1
+        return len(partitions), n_unassigned
+
+    def partition_sizes(self, min_size=0):
+        counts = {}
+        n_unassigned = 0
+        for tag, pp in self.partition_map.items():
+            if pp is not None:
+                counts[pp.pid] = counts.get(pp.pid, 0) + 1
+            else:
+                n_unassigned += 1
+        return ([(pid, n) for pid, n in sorted(counts.items())
+                 if n >= min_size], n_unassigned)
+
+    def partition_size_distribution(self):
+        counts = {}
+        n_unassigned = 0
+        for tag, pp in self.partition_map.items():
+            if pp is not None:
+                counts[pp.pid] = counts.get(pp.pid, 0) + 1
+            else:
+                n_unassigned += 1
+        dist = {}
+        for n in counts.values():
+            dist[n] = dist.get(n, 0) + 1
+        return sorted(dist.items()), n_unassigned
+
+    # -- merging ----------------------------------------------------------
+
+    def merge(self, other):
+        if self is other:
+            return
+        diskp_to_pp = {}
+        for tag in sorted(other.partition_map):
+            pp = other.partition_map[tag]
+            if pp is not None:
+                self._merge_other(tag, pp.pid, diskp_to_pp)
+
+    def _merge_other(self, tag, other_partition, diskp_to_pp):
+        """subset.cc:832-880."""
+        if tag in self.graph.stop_tags:
+            return
+        pp_0 = self.partition_map.get(tag)
+        if pp_0 is None:
+            existing = diskp_to_pp.get(other_partition)
+            if existing is not None:
+                self.partition_map[tag] = existing
+            else:
+                pp_0 = self.get_new_partition()
+                self.reverse_pmap[pp_0.pid] = {pp_0}
+                self.partition_map[tag] = pp_0
+                diskp_to_pp[other_partition] = pp_0
+        else:
+            existing = diskp_to_pp.get(other_partition)
+            if existing is not None:
+                if pp_0.pid != existing.pid:
+                    pp_0 = self._merge_two_partitions(pp_0, existing)
+                    diskp_to_pp[other_partition] = pp_0
+            else:
+                diskp_to_pp[other_partition] = pp_0
+
+    def merge_from_disk(self, filename):
+        """Fold a saved .pmap file into this partition
+        (subset.cc:884-1034)."""
+        from khmer_tpu.core.oxli_io import (SAVED_FORMAT_VERSION,
+                                            SAVED_SIGNATURE, SAVED_SUBSET,
+                                            _open_read)
+
+        with _open_read(filename) as f:
+            sig = f.read(4)
+            if sig != SAVED_SIGNATURE:
+                raise OSError(
+                    "Incorrect file signature 0x%s while reading subset "
+                    "pmap from %s; should be OXLI" % (sig.hex(), filename))
+            version = f.read(1)[0]
+            if version != SAVED_FORMAT_VERSION:
+                raise OSError(
+                    "Incorrect file format version %d while reading "
+                    "subset pmap from %s" % (version, filename))
+            ht_type = f.read(1)[0]
+            if ht_type != SAVED_SUBSET:
+                raise OSError(
+                    "Incorrect file format type %d while reading subset "
+                    "pmap from %s" % (ht_type, filename))
+            (ksize,) = struct.unpack("<I", f.read(4))
+            if ksize != self.graph.ksize():
+                raise OSError(
+                    "Incorrect k-mer size %d while reading subset pmap "
+                    "from %s" % (ksize, filename))
+            f.read(8)  # pmap_size header (includes null entries)
+            diskp_to_pp = {}
+            data = f.read()
+            n = len(data) // 12
+            for i in range(n):
+                tag, pid = struct.unpack_from("<QI", data, i * 12)
+                self._merge_other(tag, pid, diskp_to_pp)
+
+    def save_partitionmap(self, filename):
+        """subset.cc:1036-1097 (tags in sorted order)."""
+        from khmer_tpu.core.oxli_io import (SAVED_FORMAT_VERSION,
+                                            SAVED_SIGNATURE, SAVED_SUBSET)
+
+        with open(filename, "wb") as f:
+            f.write(SAVED_SIGNATURE)
+            f.write(bytes([SAVED_FORMAT_VERSION, SAVED_SUBSET]))
+            f.write(struct.pack("<IQ", self.graph.ksize(),
+                                len(self.partition_map)))
+            for tag in sorted(self.partition_map):
+                pp = self.partition_map[tag]
+                if pp is not None:
+                    f.write(struct.pack("<QI", tag, pp.pid))
+
+    def load_partitionmap(self, filename):
+        self.merge_from_disk(filename)
+
+    # -- annotation -------------------------------------------------------
+
+    def output_partitioned_file(self, infilename, outputfile,
+                                output_unassigned=False):
+        """Annotate reads with partition IDs (subset.cc:115-208)."""
+        from khmer_tpu.core import pipeline
+
+        n_singletons = 0
+        partitions = set()
+        outfile = open(outputfile, "w")
+        k = self.graph.ksize()
+
+        for read in pipeline.records_from(infilename):
+            seq = read.cleaned_seq
+            partition_id = 0
+            found_tag = False
+            if len(seq) >= k:
+                hashes = self.graph._hashes_for_sequence(seq)
+                for h in hashes:
+                    h = int(h)
+                    if h in self.partition_map:
+                        found_tag = True
+                        pp = self.partition_map[h]
+                        if pp is None:
+                            partition_id = 0
+                            n_singletons += 1
+                        else:
+                            partition_id = pp.pid
+                            partitions.add(partition_id)
+                        break
+            if partition_id > 0 or output_unassigned:
+                if read.quality:
+                    outfile.write("@%s\t%d\n%s\n+\n%s\n" % (
+                        read.name, partition_id, seq, read.quality))
+                else:
+                    outfile.write(">%s\t%d\n%s\n" % (
+                        read.name, partition_id, seq))
+        outfile.close()
+        return len(partitions) + n_singletons
 
 
 def consume_partitioned_fasta(graph, filename):
-    raise NotImplementedError
+    """Load a partition-annotated FASTA; tag each read's first k-mer and
+    record its partition (reference hashgraph.cc:368-418)."""
+    from khmer_tpu.core import pipeline
+
+    subset = SubsetPartition(graph)
+    total_reads = 0
+    n_consumed = 0
+    for record in pipeline.records_from(filename):
+        seq = record.cleaned_seq
+        name = record.name
+        # partition id from '\tN' or ' N' name suffix
+        # (reference read_parsers.hh:210-233)
+        parts = name.rsplit("\t", 1)
+        if len(parts) == 2:
+            pid = int(parts[1])
+        else:
+            parts = name.rsplit(" ", 1)
+            pid = int(parts[1]) if len(parts) == 2 else 0
+        total_reads += 1
+        if len(seq) < graph.ksize():
+            continue
+        n_consumed += graph.consume(seq)
+        first = seq[: graph.ksize()]
+        tag = graph.hash(first)
+        graph.all_tags.add(tag)
+        subset.set_partition_id(tag, pid)
+    return total_reads, n_consumed, subset
