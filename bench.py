@@ -22,6 +22,13 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# persistent compile cache: first-compile of the fused consume step is
+# minutes on the tunneled TPU; cache it across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 DATA = os.path.join(REPO, "data", "25k.fq.gz")
 K = 20
 KHMER_CPU_BASELINE = 3.0e6  # k-mers/s, single-thread C++ reference

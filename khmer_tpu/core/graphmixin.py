@@ -173,7 +173,7 @@ class HashgraphMixin:
         self.tables, out = self._update_fn(with_event_new=True)(
             self.tables, self._n_unique, jnp.asarray(hb), jnp.asarray(vb))
         self._n_unique = out["n_unique"]
-        if self._use_bigcount and "sat_total" in out:
+        if self._use_bigcount and ("sat_total" in out or "satev_total" in out):
             self._absorb_saturation(out)
         is_new = np.asarray(out["event_new"])[:M0]
         n_consumed = self._tag_spacing_pass(hashes, is_new, found_tags)
@@ -251,7 +251,7 @@ class HashgraphMixin:
                     jnp.int32(nfill))
                 self.tables = tables
                 self._n_unique = n_unique
-                if "sat_total" in out:
+                if ("sat_total" in out or "satev_total" in out):
                     self._absorb_saturation(out)
                 is_new = np.asarray(out["event_new"])
                 hs = np.asarray(out["hashes"])

@@ -152,6 +152,15 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
                 valid = valid & (counts >= threshold)
             else:
                 valid = valid & (counts <= threshold)
+        if K.use_image_path(kind, primes):
+            tables, n_unique, out = K.image_update_outputs(
+                primes, tables, n_unique, hashes, valid, with_bigcount,
+                with_event_new)
+            if with_event_new:
+                out["valid"] = valid
+                out["hashes"] = hashes
+            n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
+            return tables, n_unique, n_consumed, out
         d = K._dedup_batch(hashes, valid)
         tables, min_old, any_credit = K._apply_update(kind, primes,
                                                       tables, d)
@@ -338,7 +347,12 @@ def consume_seqfile(sketch, source, mask=None, threshold=0,
             tables, n_unique, n_consumed, out = step(
                 tables, n_unique, n_consumed, jnp.asarray(codes),
                 jnp.asarray(starts), jnp.int32(nfill), *extra)
-            if "sat_total" in out:
+            if "satev_total" in out:
+                # absorb eagerly so the full-event fallback buffers are
+                # released per chunk
+                sketch.tables = tables
+                sketch._absorb_saturation(out)
+            elif "sat_total" in out:
                 pending_sat.append(out)
 
     for record in records_from(source):

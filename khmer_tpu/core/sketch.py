@@ -166,7 +166,7 @@ class _Sketch:
         self.tables, out = self._update_fn()(
             self.tables, self._n_unique, jnp.asarray(hb), jnp.asarray(vb))
         self._n_unique = out["n_unique"]
-        if self._use_bigcount and "sat_total" in out:
+        if self._use_bigcount and ("sat_total" in out or "satev_total" in out):
             self._absorb_saturation(out)
         return int(np.sum(vb))
 
@@ -176,11 +176,14 @@ class _Sketch:
             self.tables, self._n_unique, hashes_dev.ravel(),
             valid_dev.ravel())
         self._n_unique = out["n_unique"]
-        if self._use_bigcount and "sat_total" in out:
+        if self._use_bigcount and ("sat_total" in out or "satev_total" in out):
             self._absorb_saturation(out)
 
     def _absorb_saturation(self, out):
         """Fold the batch's saturated-hash report into the bigcount map."""
+        if "satev_total" in out:
+            self._absorb_saturation_events(out)
+            return
         total = int(out["sat_total"])
         if total == 0:
             return
@@ -194,9 +197,42 @@ class _Sketch:
         for h, trig in zip(sat_hash, sat_trig):
             if trig <= 0:
                 continue
-            b = self._bigcounts.get(int(h), 0)
-            self._bigcounts[int(h)] = min(
-                max(b, MAX_KCOUNT) + int(trig), MAX_BIGCOUNT)
+            self._bigcount_add(int(h), int(trig))
+
+    def _absorb_saturation_events(self, out):
+        """Image-path report: per-event saturation candidates.
+
+        Every event of a fully-saturated hash is a candidate, so the
+        exact per-hash occurrence count (and pre-batch min) can be
+        reconstructed by grouping the compacted events on host.
+        """
+        total = int(out["satev_total"])
+        if total == 0:
+            return
+        if total > out["satev_hash"].shape[0]:
+            # compacted slots overflowed: fetch the full event view
+            cand = np.asarray(out["satev_cand_full"])
+            hs = np.asarray(out["satev_hash_full"])[cand]
+            ms = np.asarray(out["satev_m_full"])[cand]
+        else:
+            hs = np.asarray(out["satev_hash"])
+            ms = np.asarray(out["satev_m"])
+        groups = {}
+        for h, m in zip(hs, ms):
+            if m < 0:
+                continue
+            h = int(h)
+            cnt, _ = groups.get(h, (0, 0))
+            groups[h] = (cnt + 1, int(m))
+        for h, (cnt, m) in groups.items():
+            triggers = cnt - max(0, MAX_KCOUNT - m)
+            if triggers > 0:
+                self._bigcount_add(h, triggers)
+
+    def _bigcount_add(self, h, triggers):
+        b = self._bigcounts.get(h, 0)
+        self._bigcounts[h] = min(max(b, MAX_KCOUNT) + triggers,
+                                 MAX_BIGCOUNT)
 
     def count(self, kmer):
         """Increment the count for one k-mer (str or hash)."""

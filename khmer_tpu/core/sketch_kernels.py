@@ -219,6 +219,110 @@ _TABLE_UPDATE = {
     "bit": _bit_table_update,
 }
 
+# --------------------------------------------------------------------------
+# sort-free "image" update for byte tables (the counting hot path).
+#
+# Instead of sort->dedup->segment ops (which XLA lowers to serial loops
+# on TPU), use two scratch images the size of the largest table:
+#   delta  = scatter-add of ones        (per-bin batch totals)
+#   minidx = scatter-min of batch index (per-bin first-hitter)
+# then new_table = min(table + delta, 255) as one full-table vector op.
+# Per-event statistics follow from gathers:
+#   winner(e)  = minidx[bin(e)] == e     (first event to hit the bin)
+#   credit(e)  = winner & old == 0       -> exact n_unique semantics
+#   post(e)    = min(old + delta, 255)   -> bigcount candidates
+# This is sequential-equivalent like the sort path (see _dedup_batch
+# docs) but ~4x faster on TPU. Extra memory: 2 x 4 bytes per bucket of
+# the largest table, reused across tables.
+# --------------------------------------------------------------------------
+
+# use the image path when the scratch images fit comfortably (2 int32
+# images of max(prime) buckets)
+IMAGE_PATH_MAX_PRIME = int(3e8)
+
+_I32_MAX = np.int32(2**31 - 1)
+
+
+def _byte_image_table_update(table, prime, hashes, valid, eidx,
+                             img_size):
+    M = hashes.shape[0]
+    bins = hashes % _u64(prime)
+    safe = jnp.where(valid, bins, _u64(img_size))
+    delta = jnp.zeros(img_size, jnp.int32).at[safe].add(1, mode="drop")
+    minidx = jnp.full(img_size, _I32_MAX, jnp.int32).at[safe].min(
+        eidx, mode="drop")
+    gidx = jnp.where(valid, bins, _u64(0))
+    old_e = jnp.take(table, gidx).astype(jnp.int32)
+    new_table = jnp.minimum(
+        table.astype(jnp.int32) + delta[: table.shape[0]],
+        MAX_KCOUNT).astype(jnp.uint8)
+    winner_e = valid & (jnp.take(minidx, gidx) == eidx)
+    credit_e = winner_e & (old_e == 0)
+    delta_e = jnp.take(delta, gidx)
+    post_e = jnp.minimum(old_e + delta_e, MAX_KCOUNT)
+    old_e = jnp.where(valid, old_e, MAX_KCOUNT)
+    post_e = jnp.where(valid, post_e, 0)
+    return new_table, old_e, credit_e, post_e
+
+
+def _apply_image_update(primes, tables, hashes, valid):
+    """Image-path update of all byte tables.
+
+    Returns (tables, any_credit_e, min_old_e, min_post_e) — per-event.
+    """
+    M = hashes.shape[0]
+    img_size = max(int(p) for p in primes)
+    eidx = jnp.arange(M, dtype=jnp.int32)
+    any_credit = jnp.zeros(M, bool)
+    min_old = jnp.full(M, jnp.int32(MAX_KCOUNT))
+    min_post = jnp.full(M, jnp.int32(MAX_KCOUNT))
+    new_tables = []
+    for t, p in enumerate(primes):
+        tbl, old_e, credit_e, post_e = _byte_image_table_update(
+            tables[t], p, hashes, valid, eidx, img_size)
+        new_tables.append(tbl)
+        any_credit = any_credit | credit_e
+        min_old = jnp.minimum(min_old, old_e)
+        min_post = jnp.minimum(min_post, post_e)
+    return tuple(new_tables), any_credit, min_old, min_post
+
+
+def image_update_outputs(primes, tables, n_unique, hashes, valid,
+                         with_bigcount, with_event_new):
+    """Shared tail for image-path update functions."""
+    M = hashes.shape[0]
+    tables, any_credit, min_old, min_post = _apply_image_update(
+        primes, tables, hashes, valid)
+    n_unique = n_unique + jnp.sum(
+        jnp.where(any_credit, 1, 0)).astype(jnp.uint64)
+    out = {}
+    if with_event_new:
+        out["event_new"] = any_credit
+    if with_bigcount:
+        # candidate events: every table bin saturated post-batch. The
+        # host reconstructs exact per-hash trigger counts from the
+        # compacted (hash, min_old) pairs (bigcount is rare).
+        cand = valid & (min_post == MAX_KCOUNT)
+        out["satev_total"] = jnp.sum(cand.astype(jnp.int32))
+        slots = min(SAT_SLOTS, M)
+        sat_idx = jnp.nonzero(cand, size=slots, fill_value=M - 1)[0]
+        picked = jnp.take(cand, sat_idx)
+        out["satev_hash"] = jnp.where(picked, jnp.take(hashes, sat_idx),
+                                      _U64_MAX)
+        out["satev_m"] = jnp.where(picked, jnp.take(min_old, sat_idx),
+                                   -1)
+        # full per-event views: only fetched by the host when the
+        # compacted slots overflow (heavy saturation)
+        out["satev_cand_full"] = cand
+        out["satev_hash_full"] = hashes
+        out["satev_m_full"] = min_old
+    return tables, n_unique, out
+
+
+def use_image_path(kind, primes):
+    return (kind == "byte" and primes
+            and max(int(p) for p in primes) <= IMAGE_PATH_MAX_PRIME)
+
 
 def _apply_update(kind, primes, tables, d):
     """Update all tables; returns (tables, min_old_u, any_credit_u)."""
@@ -248,6 +352,17 @@ def make_update(kind, primes, with_bigcount=False, with_event_new=False):
       -> (tables, out) with out.n_unique (+ bigcount report / event_new).
     """
     primes = tuple(int(p) for p in primes)
+
+    if use_image_path(kind, primes):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def update_img(tables, n_unique, hashes, valid):
+            tables, n_unique, out = image_update_outputs(
+                primes, tables, n_unique, hashes, valid, with_bigcount,
+                with_event_new)
+            out["n_unique"] = n_unique
+            return tables, out
+
+        return update_img
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def update(tables, n_unique, hashes, valid):
