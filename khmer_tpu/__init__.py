@@ -31,6 +31,13 @@ from khmer_tpu.core.sketch import (  # noqa: E402
     SmallCounttable,
 )
 from khmer_tpu.core.hll import HLLCounter  # noqa: E402
+from khmer_tpu.core.labels import GraphLabels  # noqa: E402
+from khmer_tpu.core.aligner import ReadAligner  # noqa: E402
+from khmer_tpu.core.assembly import (  # noqa: E402
+    JunctionCountAssembler,
+    LinearAssembler,
+    SimpleLabeledAssembler,
+)
 from khmer_tpu.core.oxli_io import (  # noqa: E402
     extract_countgraph_info,
     extract_nodegraph_info,

@@ -160,10 +160,9 @@ class HashgraphMixin:
         n, _ = self._consume_and_tag_seq(seq)
         return n
 
-    def _consume_and_tag_seq(self, seq, found_tags=None):
-        hashes = self._hashes_for_sequence(seq)
-        if hashes.size == 0:
-            return 0, found_tags
+    def _event_new_for_hashes(self, hashes):
+        """Commit hashes to the sketch; return per-event is-new flags
+        (exact test_and_set_bits semantics)."""
         M0 = hashes.shape[0]
         M = max(((M0 + 255) // 256) * 256, 256)
         hb = np.zeros(M, dtype=np.uint64)
@@ -173,11 +172,28 @@ class HashgraphMixin:
         self.tables, out = self._update_fn(with_event_new=True)(
             self.tables, self._n_unique, jnp.asarray(hb), jnp.asarray(vb))
         self._n_unique = out["n_unique"]
-        if self._use_bigcount and ("sat_total" in out or "satev_total" in out):
+        if self._use_bigcount and ("sat_total" in out
+                                   or "satev_total" in out):
             self._absorb_saturation(out)
-        is_new = np.asarray(out["event_new"])[:M0]
+        return np.asarray(out["event_new"])[:M0]
+
+    def _consume_and_tag_seq(self, seq, found_tags=None):
+        hashes = self._hashes_for_sequence(seq)
+        if hashes.size == 0:
+            return 0, found_tags
+        is_new = self._event_new_for_hashes(hashes)
         n_consumed = self._tag_spacing_pass(hashes, is_new, found_tags)
         return n_consumed, found_tags
+
+    def sweep_tag_neighborhood(self, seq, range=0,
+                               break_on_stop_tags=False,
+                               stop_big_traversals=False):
+        """Tags within `range` of the sequence perimeter
+        (SubsetPartition::sweep_for_tags, subset.cc:305-394)."""
+        from khmer_tpu.core.partition import sweep_for_tags
+
+        return sweep_for_tags(self, seq, range, break_on_stop_tags,
+                              stop_big_traversals)[0]
 
     def _tag_spacing_pass(self, hashes, is_new, found_tags=None):
         """Host pass applying the tag-spacing rules for one read."""
@@ -430,6 +446,13 @@ class HashgraphMixin:
                 pos = self._ksize - 2 + i
                 return seq[:pos], pos
         return seq, len(seq)
+
+    def assemble_linear_path(self, seed_kmer, stop_bf=None):
+        """Assemble the maximal linear path through seed_kmer
+        (reference graphs.pyx Hashgraph.assemble_linear_path)."""
+        from khmer_tpu.core.assembly import LinearAssembler
+
+        return LinearAssembler(self).assemble(seed_kmer, stop_bf)
 
     # -- partitioning entry points (delegated) -----------------------------
 

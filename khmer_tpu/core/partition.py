@@ -23,6 +23,7 @@ import numpy as np
 from khmer_tpu.ops import hashing as H
 
 BIG_TRAVERSALS_ARE = 200  # reference: subset.cc:54
+_range = range  # sweep_for_tags shadows the builtin with its kw-arg
 DEFAULT_BFS_BATCH = 256
 
 
@@ -153,6 +154,70 @@ def find_all_tags(graph, f, r, break_on_stop_tags=False,
                   stop_big_traversals=False):
     return find_all_tags_batch(graph, [(f, r)], break_on_stop_tags,
                                stop_big_traversals)[0]
+
+
+def sweep_for_tags(graph, seq, range=0, break_on_stop_tags=False,
+                   stop_big_traversals=False):
+    """BFS around a sequence's perimeter collecting nearby tags.
+
+    Returns (tagged set, n_traversed). Mirrors
+    SubsetPartition::sweep_for_tags (subset.cc:305-394), including the
+    seed-at-breadth-0 FIFO and early-return past max_breadth.
+    """
+    k = graph.ksize()
+    all_tags = graph.all_tags
+    stop_tags = graph.stop_tags
+    max_breadth = range
+    tagged = set()
+    traversed = set()
+
+    # queue up all the sequence's k-mers at breadth zero
+    codes = H.encode_dna(seq)
+    queue = deque()
+    for i in _range(len(seq) - k + 1):
+        sub = H.decode_dna(codes[i:i + k])
+        _, f, r = H._hash_scalar(sub, k)
+        traversed.add(min(f, r))
+        queue.append((np.uint64(f), np.uint64(r), 0))
+
+    seq_length = len(queue) // 2
+    big_perimeter = BIG_TRAVERSALS_ARE * seq_length
+    total = 0
+
+    while queue:
+        if stop_big_traversals and len(traversed) > big_perimeter:
+            tagged.clear()
+            break
+        # walk until a node needs a probe
+        node = None
+        while queue:
+            f, r, breadth = queue[0]
+            c = int(min(f, r))
+            if break_on_stop_tags and c in stop_tags:
+                queue.popleft()
+                continue
+            traversed.add(c)
+            total += 1
+            if c in all_tags:
+                tagged.add(c)
+                queue.popleft()
+                continue
+            if breadth == max_breadth:
+                queue.popleft()
+                continue
+            elif breadth > max_breadth:
+                return tagged, total
+            node = queue.popleft()
+            break
+        if node is None:
+            break
+        f, r, breadth = node
+        nf, nr, nc, present = _probe(graph, [f], [r])
+        for j in _range(8):
+            if present[0, j] and int(nc[0, j]) not in traversed:
+                queue.append((nf[0, j], nr[0, j], breadth + 1))
+
+    return tagged, total
 
 
 class SubsetPartition:

@@ -244,7 +244,7 @@ _I32_MAX = np.int32(2**31 - 1)
 
 
 def _byte_image_table_update(table, prime, hashes, valid, eidx,
-                             img_size):
+                             img_size, with_post=True):
     M = hashes.shape[0]
     bins = hashes % _u64(prime)
     safe = jnp.where(valid, bins, _u64(img_size))
@@ -258,14 +258,17 @@ def _byte_image_table_update(table, prime, hashes, valid, eidx,
         MAX_KCOUNT).astype(jnp.uint8)
     winner_e = valid & (jnp.take(minidx, gidx) == eidx)
     credit_e = winner_e & (old_e == 0)
-    delta_e = jnp.take(delta, gidx)
-    post_e = jnp.minimum(old_e + delta_e, MAX_KCOUNT)
+    if with_post:
+        delta_e = jnp.take(delta, gidx)
+        post_e = jnp.minimum(old_e + delta_e, MAX_KCOUNT)
+        post_e = jnp.where(valid, post_e, 0)
+    else:
+        post_e = None
     old_e = jnp.where(valid, old_e, MAX_KCOUNT)
-    post_e = jnp.where(valid, post_e, 0)
     return new_table, old_e, credit_e, post_e
 
 
-def _apply_image_update(primes, tables, hashes, valid):
+def _apply_image_update(primes, tables, hashes, valid, with_post=True):
     """Image-path update of all byte tables.
 
     Returns (tables, any_credit_e, min_old_e, min_post_e) — per-event.
@@ -275,15 +278,16 @@ def _apply_image_update(primes, tables, hashes, valid):
     eidx = jnp.arange(M, dtype=jnp.int32)
     any_credit = jnp.zeros(M, bool)
     min_old = jnp.full(M, jnp.int32(MAX_KCOUNT))
-    min_post = jnp.full(M, jnp.int32(MAX_KCOUNT))
+    min_post = jnp.full(M, jnp.int32(MAX_KCOUNT)) if with_post else None
     new_tables = []
     for t, p in enumerate(primes):
         tbl, old_e, credit_e, post_e = _byte_image_table_update(
-            tables[t], p, hashes, valid, eidx, img_size)
+            tables[t], p, hashes, valid, eidx, img_size, with_post)
         new_tables.append(tbl)
         any_credit = any_credit | credit_e
         min_old = jnp.minimum(min_old, old_e)
-        min_post = jnp.minimum(min_post, post_e)
+        if with_post:
+            min_post = jnp.minimum(min_post, post_e)
     return tuple(new_tables), any_credit, min_old, min_post
 
 
@@ -292,7 +296,7 @@ def image_update_outputs(primes, tables, n_unique, hashes, valid,
     """Shared tail for image-path update functions."""
     M = hashes.shape[0]
     tables, any_credit, min_old, min_post = _apply_image_update(
-        primes, tables, hashes, valid)
+        primes, tables, hashes, valid, with_post=with_bigcount)
     n_unique = n_unique + jnp.sum(
         jnp.where(any_credit, 1, 0)).astype(jnp.uint64)
     out = {}
