@@ -447,6 +447,14 @@ class HashgraphMixin:
                 return seq[:pos], pos
         return seq, len(seq)
 
+    def repartition_largest_partition(self, counts, distance, threshold,
+                                      frequency, subs=None):
+        """Find HCKs in the largest partition -> stop tags
+        (reference graphs.pyx:755, subset.cc:1218)."""
+        target = subs if subs is not None else self.partition
+        return target.repartition_largest_partition(
+            distance, threshold, frequency, counts)
+
     def assemble_linear_path(self, seed_kmer, stop_bf=None):
         """Assemble the maximal linear path through seed_kmer
         (reference graphs.pyx Hashgraph.assemble_linear_path)."""

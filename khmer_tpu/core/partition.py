@@ -462,6 +462,120 @@ class SubsetPartition:
     def load_partitionmap(self, filename):
         self.merge_from_disk(filename)
 
+    # -- knot detection ---------------------------------------------------
+
+    @classmethod
+    def load(cls, filename, graph):
+        subset = cls(graph)
+        subset.merge_from_disk(filename)
+        return subset
+
+    def _clear_partition(self, the_partition):
+        """Remove a partition; returns its tags (subset.cc:1398-1424)."""
+        partition_tags = set()
+        for tag, pp in self.partition_map.items():
+            if pp is not None and pp.pid == the_partition:
+                partition_tags.add(tag)
+        for tag in partition_tags:
+            del self.partition_map[tag]
+        self.reverse_pmap.pop(the_partition, None)
+        return partition_tags
+
+    def repartition_largest_partition(self, distance, threshold,
+                                      frequency, counting):
+        """Find highly-connected k-mers in the largest partition and
+        turn them into stop tags, then re-partition
+        (subset.cc:1218-1359). Returns the next-largest partition size.
+        """
+        from khmer_tpu.core import traversal as T
+
+        cm = {}
+        for tag, pp in self.partition_map.items():
+            if pp is not None:
+                cm[pp.pid] = cm.get(pp.pid, 0) + 1
+        if not cm:
+            raise RuntimeError("no partitions to repartition")
+        biggest_size = max(cm.values())
+        biggest_p = 0
+        for pid, size in cm.items():
+            if size == biggest_size:
+                biggest_p = pid
+        sizes = sorted(set(cm.values()))
+        next_largest = sizes[-2] if len(sizes) > 1 else 0
+
+        bigtags = self._clear_partition(biggest_p)
+        graph = self.graph
+        if not hasattr(graph, "repart_small_tags"):
+            graph.repart_small_tags = set()
+
+        # evaluate counting sequentially: per keeper, gather per-table
+        # base counts in one device call, then walk with a (table, bin)
+        # delta map so FP-level interactions match the reference
+        from khmer_tpu.core import sketch_kernels as K
+
+        import jax.numpy as jnp
+
+        primes = tuple(counting._primes)
+        pertable = K.make_pertable_get(counting.storage_kind, primes)
+
+        for tag in sorted(bigtags):
+            if tag in graph.repart_small_tags:
+                continue
+            keeper = set()
+            count = T.traverse_from_kmer(graph, tag, distance,
+                                         keeper=keeper)
+            if count >= threshold:
+                kms = np.array(sorted(keeper), dtype=np.uint64)
+                pad = max(((len(kms) + 255) // 256) * 256, 256)
+                kb = np.zeros(pad, np.uint64)
+                kb[: len(kms)] = kms
+                base = np.asarray(pertable(counting.tables,
+                                           jnp.asarray(kb)))[:, : len(kms)]
+                delta = {}
+                pending = []
+                for i, km in enumerate(kms):
+                    km = int(km)
+                    cur = min(
+                        int(base[t, i]) + delta.get(
+                            ((km % primes[t]) + (t << 60)), 0)
+                        for t in _range(len(primes)))
+                    if cur > frequency:
+                        graph.stop_tags.add(km)
+                    else:
+                        pending.append(km)
+                        for t, p in enumerate(primes):
+                            key = (km % p) + (t << 60)
+                            delta[key] = delta.get(key, 0) + 1
+                if pending:
+                    counting._commit_hashes(
+                        np.array(pending, dtype=np.uint64))
+            else:
+                graph.repart_small_tags.add(tag)
+
+        self.repartition_a_partition(bigtags)
+        return next_largest
+
+    def repartition_a_partition(self, partition_tags):
+        """Re-run find_all_tags over a tag set, honoring stop tags
+        (subset.cc:1361-1392)."""
+        from khmer_tpu.ops import hashing as Hh
+
+        k = self.graph.ksize()
+        tags = sorted(partition_tags)
+        for start in _range(0, len(tags), DEFAULT_BFS_BATCH):
+            chunk = tags[start:start + DEFAULT_BFS_BATCH]
+            starts = []
+            for tag in chunk:
+                s = Hh.reverse_hash(tag, k)
+                _, f, r = Hh._hash_scalar(s, k)
+                starts.append((f, r))
+            tagged_sets = find_all_tags_batch(self.graph, starts,
+                                              break_on_stop_tags=True,
+                                              stop_big_traversals=False)
+            for tag, tagged in zip(chunk, tagged_sets):
+                tagged = set(t for t in tagged if t in partition_tags)
+                self.assign_partition_id(tag, tagged)
+
     # -- annotation -------------------------------------------------------
 
     def output_partitioned_file(self, infilename, outputfile,

@@ -423,6 +423,35 @@ def _gather_counts(kind, primes, tables, hashes):
 
 
 @functools.lru_cache(maxsize=None)
+def make_pertable_get(kind, primes):
+    """Per-table counts for a hash array: (tables, hashes[n]) -> [T, n]."""
+    primes = tuple(int(p) for p in primes)
+
+    @jax.jit
+    def get(tables, hashes):
+        per = []
+        for t, p in enumerate(primes):
+            bins = hashes % _u64(p)
+            if kind == "byte":
+                c = jnp.take(tables[t], bins).astype(jnp.uint16)
+            elif kind == "nibble":
+                byte = jnp.take(tables[t], bins // _u64(2)).astype(
+                    jnp.uint16)
+                odd = (bins % _u64(2)).astype(jnp.uint16)
+                c = jnp.where(odd == 1, byte & 0xF, byte >> 4)
+            else:
+                byte = jnp.take(tables[t], bins // _u64(8)).astype(
+                    jnp.int32)
+                bit = (jnp.int32(1)
+                       << (bins % _u64(8)).astype(jnp.int32))
+                c = ((byte & bit) != 0).astype(jnp.uint16)
+            per.append(c)
+        return jnp.stack(per)
+
+    return get
+
+
+@functools.lru_cache(maxsize=None)
 def make_get(kind, primes):
     """Batch count lookup: get(tables, hashes[...]) -> uint16 counts."""
     primes = tuple(int(p) for p in primes)
