@@ -59,9 +59,12 @@ class FlatPacker:
 
     def add(self, seq):
         """Add one cleaned sequence. Returns a list of full chunks."""
+        return self.add_codes(H.encode_dna(seq))
+
+    def add_codes(self, codes):
+        """Add one read's 2-bit codes (native-parser fast path)."""
         k = self.k
         out = []
-        codes = H.encode_dna(seq)
         n = len(codes)
         if n < k:
             return out
@@ -355,14 +358,28 @@ def consume_seqfile(sketch, source, mask=None, threshold=0,
             elif "sat_total" in out:
                 pending_sat.append(out)
 
-    for record in records_from(source):
-        seq = record.cleaned_seq
-        n_reads += 1
-        if len(seq) >= k:
-            commit(packer.add(seq))
-        if callback is not None and callback_every \
-                and n_reads % callback_every == 0:
-            callback(n_reads)
+    use_native = False
+    if isinstance(source, str) and callback is None:
+        from khmer_tpu.io import native
+
+        use_native = native.available()
+    if use_native:
+        from khmer_tpu.io import native
+
+        for codes_blk, meta, _ in native.pack_blocks(source):
+            for so, sl, _no, _nl in meta:
+                n_reads += 1
+                if sl >= k:
+                    commit(packer.add_codes(codes_blk[so:so + sl]))
+    else:
+        for record in records_from(source):
+            seq = record.cleaned_seq
+            n_reads += 1
+            if len(seq) >= k:
+                commit(packer.add(seq))
+            if callback is not None and callback_every \
+                    and n_reads % callback_every == 0:
+                callback(n_reads)
     tail = packer.flush()
     if tail is not None:
         commit([tail])
