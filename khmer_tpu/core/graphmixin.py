@@ -437,6 +437,46 @@ class HashgraphMixin:
         deg = np.asarray(present).sum(axis=1)
         return set(int(h) for h, d in zip(hashes, deg) if d > 2)
 
+    def extract_unique_paths(self, seq, min_length, min_unique_f):
+        """Extract maximal windows whose k-mers are mostly unseen
+        (reference hashgraph.cc:723-817, same quirky endpoint
+        adjustments)."""
+        if len(seq) < min_length:
+            return []
+        max_seen = 1.0 - min_unique_f
+        min_length = min_length - self._ksize + 1
+        counts = self.get_counts_for_hashes(
+            self._hashes_for_sequence(seq))
+        seen = [bool(c) for c in counts]
+        n_kmers = len(seen)
+        results = []
+        i = 0
+        while i < n_kmers - min_length:
+            seen_counter = sum(1 for j in range(min_length)
+                               if seen[i + j])
+            if (seen_counter / float(min_length)) <= max_seen:
+                start = i
+                while (start + min_length) < n_kmers:
+                    if seen[start]:
+                        seen_counter -= 1
+                    if seen[start + min_length]:
+                        seen_counter += 1
+                    start += 1
+                    if (seen_counter / float(min_length)) > max_seen:
+                        break
+                if start + min_length == n_kmers:
+                    if (seen_counter / float(min_length)) > max_seen:
+                        start -= 1
+                    start -= 1
+                else:
+                    start -= 2
+                results.append(
+                    seq[i: start + min_length + self._ksize])
+                i = start + min_length + 1
+            else:
+                i += 1
+        return results
+
     def trim_on_stoptags(self, seq):
         """Trim at the first stoptag k-mer (hashgraph.cc:487-501):
         position k-2+i for a stoptag at window i."""
