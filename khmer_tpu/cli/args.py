@@ -171,24 +171,36 @@ def estimate_optimal_with_K_and_f(num_kmers, des_fp_rate):
 
 
 def graphsize_args_report(unique_kmers, fp_rate):
+    """Optimal-argument report (reference khmer_args.py:333-372)."""
     to_print = []
-    to_print.append('')
-    to_print.append('*** INFO: Suggested tablesize settings ***')
-    to_print.append('')
-    to_print.append('{:>25}: {:d}'.format("unique k-mers", unique_kmers))
-    to_print.append('{:>25}: {:.3f}'.format("FP rate", fp_rate))
-    res = optimal_size(unique_kmers, fp_rate=fp_rate)
-    to_print.append('{:>25}: {:d}'.format("number of tables",
-                                          res.num_htables))
-    to_print.append('{:>25}: {:d}'.format("tablesize", res.htable_size))
-    to_print.append('{:>25}: {:.1f} ({:.2g} bytes)'.format(
-        "mem usage (Gb)", res.mem_use / 1e9, res.mem_use))
-    to_print.append('')
-    to_print.append('To use these settings, apply the following options:')
-    to_print.append('')
-    to_print.append('-N {:d} -x {:.2g}'.format(res.num_htables,
-                                               res.htable_size))
-    to_print.append('')
+
+    to_print.append('')  # blank line
+    to_print.append('number of unique k-mers: \t{0}'.format(unique_kmers))
+    to_print.append('false positive rate: \t{:>.3f}'.format(fp_rate))
+    to_print.append('')  # blank line
+    to_print.append('If you have expected false positive rate to achieve:')
+    to_print.append('expected_fp\tnumber_hashtable(Z)\tsize_hashtable(H)\t'
+                    'expected_memory_usage')
+
+    for fp_rate in range(1, 10):
+        num_tables, table_size, mem_cap, fp_rate = \
+            optimal_size(unique_kmers, fp_rate=fp_rate / 10.0)
+        to_print.append('{:11.3f}\t{:19}\t{:17e}\t{:21e}'.format(
+            fp_rate, num_tables, table_size, mem_cap))
+
+    mem_list = [1, 5, 10, 20, 50, 100, 200, 300, 400, 500, 1000, 2000,
+                5000]
+
+    to_print.append('')  # blank line
+    to_print.append('If you have expected memory to use:')
+    to_print.append('expected_memory_usage\tnumber_hashtable(Z)\t'
+                    'size_hashtable(H)\texpected_fp')
+
+    for mem in mem_list:
+        num_tables, table_size, mem_cap, fp_rate = \
+            optimal_size(unique_kmers, mem_cap=mem * 1000000000)
+        to_print.append('{:21e}\t{:19}\t{:17e}\t{:11.3f}'.format(
+            mem_cap, num_tables, table_size, fp_rate))
     return "\n".join(to_print)
 
 
