@@ -24,7 +24,7 @@ from khmer_tpu.ops import hashing as H
 
 BIG_TRAVERSALS_ARE = 200  # reference: subset.cc:54
 _range = range  # sweep_for_tags shadows the builtin with its kw-arg
-DEFAULT_BFS_BATCH = 256
+DEFAULT_BFS_BATCH = 2048
 
 
 class _Box:
