@@ -333,11 +333,10 @@ class _Sketch:
         if counts.size == 0:
             return 0
         bad = (counts > cutoff) if below else (counts < cutoff)
-        if bad[0]:
+        # a single-window sequence always trims to 0 (the C++ iterator
+        # is done() right after the first next(), hashtable.cc:513-520)
+        if bad[0] or counts.size == 1:
             return 0
-        if counts.size == 1:
-            # single k-mer: C++ returns 0 when done after first next()
-            return 0 if not bad[0] else 0
         idx = np.nonzero(bad[1:])[0]
         if idx.size:
             return int(self._ksize + idx[0])

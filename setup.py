@@ -38,7 +38,6 @@ SCRIPTS = {
     "sample-reads-randomly.py":
         "khmer_tpu.cli.sample_reads_randomly:main",
     "readstats.py": "khmer_tpu.cli.readstats:main",
-    "filter-stoptags.py": "khmer_tpu.cli.filter_stoptags:main",
 }
 
 
