@@ -43,20 +43,96 @@ from collections import deque
 
 
 class _Traversal:
-    """Host state of one find_all_tags BFS (reference subset.cc:213)."""
+    """Host state of one find_all_tags BFS (reference subset.cc:213).
 
-    __slots__ = ("start", "queue", "keeper", "tagged", "first",
-                 "cur_breadth", "done", "aborted")
+    The pending queue always holds exactly one breadth level, as
+    (f, r) arrays; the visited set is a sorted uint64 array so level
+    decisions are pure vector ops.
+    """
+
+    __slots__ = ("level_f", "level_r", "breadth", "keeper_arr",
+                 "tagged", "first", "done", "aborted")
 
     def __init__(self, f, r):
-        self.start = (f, r)
-        self.queue = deque([(f, r, 0)])
-        self.keeper = set()
+        self.level_f = np.array([f], dtype=np.uint64)
+        self.level_r = np.array([r], dtype=np.uint64)
+        self.breadth = 0
+        self.keeper_arr = np.zeros(0, dtype=np.uint64)
         self.tagged = set()
         self.first = True
-        self.cur_breadth = 0
         self.done = False
         self.aborted = False
+
+
+def _sorted_contains(sorted_arr, values):
+    """Vectorized membership of `values` in a sorted unique array."""
+    if sorted_arr.size == 0:
+        return np.zeros(len(values), bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx == len(sorted_arr)] = 0
+    return sorted_arr[idx] == values
+
+
+def _sorted_merge(sorted_arr, new_values):
+    """Insert new (unique, not-present) values keeping sort order."""
+    if new_values.size == 0:
+        return sorted_arr
+    new_sorted = np.sort(new_values)
+    pos = np.searchsorted(sorted_arr, new_sorted)
+    return np.insert(sorted_arr, pos, new_sorted)
+
+
+def _walk_level(tv, all_tags_arr, stop_tags_arr, max_breadth,
+                break_on_stop_tags, stop_big_traversals):
+    """Process one breadth level of one traversal, vectorized.
+
+    Sequential-exact: within a level, a node's decision depends only
+    on earlier pops' keeper inserts (never on probe results), so
+    first-occurrence dedup + ordered masks reproduce the one-at-a-time
+    reference. Returns (f, r) survivor arrays needing neighbor probes.
+    """
+    canon = np.minimum(tv.level_f, tv.level_r)
+    # first-occurrence dedup within the level (later dups would be
+    # keeper-skipped at pop time anyway)
+    _, first_idx = np.unique(canon, return_index=True)
+    order = np.sort(first_idx)
+    canon_o = canon[order]
+    process = ~_sorted_contains(tv.keeper_arr, canon_o)
+    if break_on_stop_tags and stop_tags_arr.size:
+        process &= ~_sorted_contains(stop_tags_arr, canon_o)
+    if stop_big_traversals:
+        # the reference aborts before any pop once keeper > cap; the
+        # first insert crossing the cap truncates the rest of the walk
+        grow = np.cumsum(process)
+        before = len(tv.keeper_arr) + np.concatenate(([0], grow[:-1]))
+        over = np.nonzero(before > BIG_TRAVERSALS_ARE)[0]
+        if over.size:
+            cut = over[0]
+            tv.keeper_arr = _sorted_merge(
+                tv.keeper_arr, canon_o[:cut][process[:cut]])
+            tv.tagged.clear()
+            tv.done = True
+            tv.aborted = True
+            return None, None
+    tv.keeper_arr = _sorted_merge(tv.keeper_arr, canon_o[process])
+    if all_tags_arr.size:
+        is_tag = process & _sorted_contains(all_tags_arr, canon_o)
+    else:
+        is_tag = np.zeros(len(canon_o), bool)
+    if tv.first:
+        # the traversal's first processed node skips the tag check
+        # (reference: `!first && set_contains(all_tags, node)`)
+        idx = np.nonzero(process)[0]
+        if idx.size:
+            is_tag[idx[0]] = False
+    if is_tag.any():
+        tv.tagged.update(int(c) for c in canon_o[is_tag])
+    survive = process & ~is_tag
+    if tv.breadth >= max_breadth:
+        return None, None
+    f_o = tv.level_f[order]
+    r_o = tv.level_r[order]
+    return f_o[survive], r_o[survive]
 
 
 def find_all_tags_batch(graph, starts, break_on_stop_tags=False,
@@ -64,83 +140,65 @@ def find_all_tags_batch(graph, starts, break_on_stop_tags=False,
     """Run find_all_tags for many start k-mers concurrently.
 
     starts: list of (f, r) tuples. Returns a list of tagged-k-mer sets
-    identical to sequential reference runs.
+    identical to sequential reference runs. Each round walks one
+    breadth level per traversal (host, vectorized) and batches every
+    survivor's 8-neighbor probe into one device call.
     """
-    all_tags = graph.all_tags
-    stop_tags = graph.stop_tags
     max_breadth = 2 * graph._tag_density + 1
+    all_tags_arr = np.fromiter(graph.all_tags, np.uint64,
+                               len(graph.all_tags))
+    all_tags_arr.sort()
+    stop_tags_arr = np.fromiter(graph.stop_tags, np.uint64,
+                                len(graph.stop_tags))
+    stop_tags_arr.sort()
 
     travs = [_Traversal(np.uint64(f), np.uint64(r)) for f, r in starts]
     active = list(range(len(travs)))
 
     while active:
-        # sequential walk of each traversal's queue prefix; collect
-        # nodes that need neighbor probes
-        probe_owner = []
+        probe_slices = []  # (ti, start, end) into the flat probe batch
         probe_f = []
         probe_r = []
+        pos = 0
         for ti in active:
             tv = travs[ti]
-            # consume queue entries until one survives (needs probe) or
-            # the queue drains; survivors are batched level-style but
-            # children append in exact FIFO order below.
-            while tv.queue:
-                if stop_big_traversals and \
-                        len(tv.keeper) > BIG_TRAVERSALS_ARE:
-                    tv.tagged.clear()
-                    tv.queue.clear()
-                    tv.done = True
-                    tv.aborted = True
-                    break
-                f, r, breadth = tv.queue[0]
-                c = int(min(f, r))
-                if c in tv.keeper:
-                    tv.queue.popleft()
-                    continue
-                if break_on_stop_tags and c in stop_tags:
-                    tv.queue.popleft()
-                    continue
-                tv.keeper.add(c)
-                if not tv.first and c in all_tags:
-                    tv.tagged.add(c)
-                    tv.queue.popleft()
-                    continue
-                if breadth > tv.cur_breadth:
-                    tv.cur_breadth = breadth
-                if breadth >= max_breadth:
-                    # NOTE: like the reference, this path does not clear
-                    # `first` (continue skips the loop tail)
-                    tv.queue.popleft()
-                    continue
-                # needs a probe: suspend here
-                break
-            if tv.queue and not tv.done:
-                f, r, breadth = tv.queue.popleft()
-                probe_owner.append((ti, breadth))
-                probe_f.append(f)
-                probe_r.append(r)
-                tv.first = False
-            else:
-                tv.done = True
+            fs, rs = _walk_level(tv, all_tags_arr, stop_tags_arr,
+                                 max_breadth, break_on_stop_tags,
+                                 stop_big_traversals)
+            if fs is None or len(fs) == 0:
+                tv.level_f = np.zeros(0, np.uint64)
+                tv.level_r = np.zeros(0, np.uint64)
+                continue
+            tv.first = False
+            probe_slices.append((ti, pos, pos + len(fs)))
+            probe_f.append(fs)
+            probe_r.append(rs)
+            pos += len(fs)
 
-        if not probe_owner:
+        if not probe_slices:
             break
-        nf, nr, nc, present = _probe(graph, probe_f, probe_r)
-        for i, (ti, breadth) in enumerate(probe_owner):
+        nf, nr, nc, present = _probe(graph,
+                                     np.concatenate(probe_f),
+                                     np.concatenate(probe_r))
+        for ti, s, e in probe_slices:
             tv = travs[ti]
-            # children in reference order: right A,T,C,G then left
-            for j in range(8):
-                if present[i, j] and int(nc[i, j]) not in tv.keeper:
-                    tv.queue.append((nf[i, j], nr[i, j], breadth + 1))
-        active = [ti for ti in range(len(travs)) if not travs[ti].done
-                  or travs[ti].queue]
+            pres = present[s:e]
+            # no per-child keeper filter: pop-time dedup next level is
+            # authoritative (and vectorized)
+            tv.level_f = nf[s:e][pres]
+            tv.level_r = nr[s:e][pres]
+            tv.breadth += 1
+        active = [ti for ti in active
+                  if not travs[ti].done and len(travs[ti].level_f)]
 
     return [tv.tagged for tv in travs]
 
 
 def _probe(graph, fs, rs):
     n = len(fs)
-    pad = max(((n + 63) // 64) * 64, 64)
+    pad = 256
+    while pad < n:
+        pad *= 2
     pf = np.zeros(pad, np.uint64)
     pr = np.zeros(pad, np.uint64)
     pf[:n] = fs
