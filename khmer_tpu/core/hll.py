@@ -185,24 +185,19 @@ class HLLCounter:
         from khmer_tpu.io.fastx import write_record
 
         k = self._ksize
-        batcher = pipeline.Batcher(k)
-        hash_fn = pipeline.make_hash_batch(k, "murmur")
+        packer = pipeline.FlatPacker(k)
+        flat_fn = _hll_flat_hash(k, packer.chunk)
         total_reads = 0
         n_consumed = 0
 
-        def commit(batch):
+        def commit(chunks):
             nonlocal n_consumed
-            if batch is None:
-                return
-            if isinstance(batch, list):
-                for b in batch:
-                    commit(b)
-                return
-            codes, lengths = batch
-            hashes, valid = hash_fn(jnp.asarray(codes),
-                                    jnp.asarray(lengths))
-            self._add_hashes_device(hashes, valid)
-            n_consumed += int(jnp.sum(valid))
+            for codes, starts, nfill in chunks:
+                hashes, valid = flat_fn(jnp.asarray(codes),
+                                        jnp.asarray(starts),
+                                        jnp.int32(nfill))
+                self._add_hashes_device(hashes, valid)
+                n_consumed += int(jnp.sum(valid))
 
         for record in pipeline.records_from(source):
             if stream_records:
@@ -210,8 +205,10 @@ class HLLCounter:
             seq = record.cleaned_seq
             total_reads += 1
             if len(seq) >= k:
-                commit(batcher.add(seq))
-        commit(batcher.flush())
+                commit(packer.add(seq))
+        tail = packer.flush()
+        if tail is not None:
+            commit([tail])
         return total_reads, n_consumed
 
     consume_seqfile_with_reads_parser = consume_seqfile
@@ -240,6 +237,24 @@ class HLLCounter:
                              "with same parameters")
         self.counters_dev = jnp.maximum(self.counters_dev,
                                         other.counters_dev)
+
+
+@functools.lru_cache(maxsize=None)
+def _hll_flat_hash(k, chunk):
+    """Flat-chunk murmur hashing with read-boundary masks (single
+    compiled shape for a whole stream)."""
+
+    @jax.jit
+    def fn(codes, starts, nfill):
+        W = chunk - k + 1
+        rid = jnp.zeros(chunk, jnp.int32).at[starts].add(1, mode="drop")
+        rid = jnp.cumsum(rid)
+        valid = (rid[:W] == rid[k - 1:]) & \
+            (jnp.arange(W, dtype=jnp.int32) + (k - 1) < nfill)
+        canon, _, _ = H.murmur_hash_windows(codes, k)
+        return canon, valid
+
+    return fn
 
 
 @functools.lru_cache(maxsize=None)
