@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Deal sequences round-robin (reverse rotary order) into 100
+numbered output files.
+
+Sandbox-tier equivalent of reference sandbox/shuffle-reverse-rotary.py:36-68
+(with the reference's argparse typo `parser.add_argument(filenames, ...)`
+fixed to a string).
+
+% python sandbox/shuffle-reverse-rotary.py <file1> [<file2> ...]
+"""
+
+import argparse
+import os.path
+
+from _sandbox import iter_records
+
+ROTARY_SIZE = 100
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('filenames', nargs='+')
+    args = parser.parse_args()
+
+    prefix = os.path.basename(args.filenames[0])
+
+    fp_d = {}
+    for n in range(0, ROTARY_SIZE):
+        num = ROTARY_SIZE - n
+        fp_d[n] = open(prefix + '.%03d' % num, 'w')
+
+    total = 0
+    for filename in args.filenames:
+        for record in iter_records(filename):
+            total += 1
+            if total % 10000 == 0:
+                print('...', total)
+            loc = total % ROTARY_SIZE
+            fp_d[loc].write('>%s\n%s\n' % (record.name, record.sequence))
+
+    print('reverse-rotary shuffled %d sequences into %d files (%s.NNN)' %
+          (total, ROTARY_SIZE, prefix))
+
+
+if __name__ == '__main__':
+    main()
