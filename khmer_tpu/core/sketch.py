@@ -557,6 +557,44 @@ class QFCounttable(_MurmurMixin, _Sketch):
     def hashsizes(self):
         return list(self._primes)
 
+    def consume_seqfile(self, path_or_parser, batcher=None):
+        """Host-path file consume: the CQF state lives host-side, so
+        stream records instead of the device flat pipeline."""
+        from khmer_tpu.core import pipeline
+
+        k = self._ksize
+        n_reads = 0
+        n_consumed = 0
+        for record in pipeline.records_from(path_or_parser):
+            seq = record.cleaned_seq
+            n_reads += 1
+            if len(seq) >= k:
+                n_consumed += self.consume(seq)
+        return n_reads, n_consumed
+
+    def save(self, filename):
+        """OXLI v4 SAVED_QFCOUNT file (reference storage.cc:919-955)."""
+        from khmer_tpu.core import oxli_io
+
+        with oxli_io._open_write(filename) as f:
+            f.write(oxli_io.SAVED_SIGNATURE)
+            f.write(bytes([oxli_io.SAVED_FORMAT_VERSION]))
+            f.write(bytes([oxli_io.SAVED_QFCOUNT]))
+            self._qf.save(f, self.ksize())
+
+    @classmethod
+    def load(cls, filename):
+        from khmer_tpu.core import oxli_io
+        from khmer_tpu.core.qf import QuotientFilter
+
+        with oxli_io._open_read(filename) as f:
+            oxli_io._check_header(f, oxli_io.SAVED_QFCOUNT, filename,
+                                  "quotient filter")
+            qf, ksize = QuotientFilter.load(f)
+        obj = cls(ksize, qf.nslots)
+        obj._qf = qf
+        return obj
+
 
 # --------------------------------------------------------------------------
 # Hashgraph layer (graph semantics over the 2-bit reversible hash)

@@ -94,3 +94,43 @@ def test_qf_consume():
     qf = QFCounttable(6, 1024)
     n = qf.consume("ATGGCAAT")
     assert n == 3
+
+
+def test_qf_save_load_roundtrip(tmp_path):
+    """Reference tests/test_qfstorage.py:9-28: counts survive a
+    save/load round trip of the SAVED_QFCOUNT file."""
+    import random
+
+    rng = random.Random(1)
+    qf = QFCounttable(20, 1024 * 4)
+    kmers = ["".join(rng.choice("ACGT") for _ in range(20))
+             for _ in range(400)]
+    for kmer in kmers:
+        qf.add(kmer)
+
+    fname = str(tmp_path / "zzz.qf")
+    qf.save(fname)
+
+    qf2 = QFCounttable.load(fname)
+    assert qf.ksize() == qf2.ksize()
+    for kmer in kmers:
+        assert qf.get(kmer) == qf2.get(kmer)
+    assert qf2.n_unique_kmers() == qf.n_unique_kmers()
+
+    # header carries the OXLI signature + QFCOUNT type byte
+    with open(fname, "rb") as fp:
+        head = fp.read(6)
+    assert head[:4] == b"OXLI"
+    assert head[5] == 8  # SAVED_QFCOUNT
+
+
+def test_qf_load_rejects_wrong_type(tmp_path):
+    import pytest
+
+    from khmer_tpu import Countgraph
+
+    cg = Countgraph(6, 1000, 2)
+    fname = str(tmp_path / "a.ct")
+    cg.save(fname)
+    with pytest.raises(OSError):
+        QFCounttable.load(fname)
