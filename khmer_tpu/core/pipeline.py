@@ -322,7 +322,21 @@ def consume_seqfile(sketch, source, mask=None, threshold=0,
     Mirrors Hashtable::consume_seqfile and its _with_mask / _banding
     variants (src/oxli/hashtable.cc:125-274). Uses the flat-stream
     pipeline: one fused jit shape for the whole file.
+
+    Set $KHMER_TPU_TRACE=<logdir> to capture a JAX profiler trace of
+    the consume (khmer_tpu.utils.profiling).
     """
+    from khmer_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace("consume_seqfile"):
+        return _consume_seqfile(sketch, source, mask, threshold,
+                                consume_masked, num_bands, band,
+                                callback, callback_every)
+
+
+def _consume_seqfile(sketch, source, mask=None, threshold=0,
+                     consume_masked=False, num_bands=None, band=None,
+                     callback=None, callback_every=None):
     k = sketch.ksize()
     band_interval = None
     if num_bands:

@@ -122,3 +122,32 @@ def test_abundance_dist_single(tmp_path):
         assert line == '1,96,96,0.98', line
         line = fp.readline().strip()
         assert line == '1001,2,98,1.0', line
+
+
+def test_profiler_trace_hook(tmp_path, monkeypatch):
+    """KHMER_TPU_TRACE captures a JAX profiler trace around consume
+    (SURVEY §5.1: the TPU framework's tracing aux subsystem)."""
+    import os
+
+    from khmer_tpu import Counttable
+    from tests.conftest import reference_file
+
+    logdir = str(tmp_path / "trace")
+    monkeypatch.setenv("KHMER_TPU_TRACE", logdir)
+    ct = Counttable(20, 1e5, 2)
+    ct.consume_seqfile(reference_file("random-20-a.fa"))
+    assert ct.n_unique_kmers() > 0
+    # a plugins/profile/<run>/ dir with a .trace.json.gz or .xplane.pb
+    found = []
+    for root, _dirs, files in os.walk(logdir):
+        found.extend(files)
+    assert found, "no trace artifacts written"
+
+
+def test_profiler_annotate_and_memstats():
+    from khmer_tpu.utils import profiling
+
+    with profiling.annotate("unit-test-region"):
+        pass
+    stats = profiling.device_memory_stats()
+    assert isinstance(stats, dict)
