@@ -72,20 +72,21 @@ def main():
                   for c, s, n in chunks]
     tables0 = jax.device_put(graph.tables, dev)
 
-    def run_all(tables, n_unique, n_consumed):
+    def run_all(tables, n_unique, n_consumed, overflow):
         for codes, starts, nfill in dev_chunks:
-            tables, n_unique, n_consumed, _ = step(
-                tables, n_unique, n_consumed, codes, starts, nfill)
-        return tables, n_unique, n_consumed
+            tables, n_unique, n_consumed, overflow, _ = step(
+                tables, n_unique, n_consumed, overflow, codes, starts,
+                nfill)
+        return tables, n_unique, n_consumed, overflow
 
     # warmup: two passes compile both the fresh-state and the
     # steady-state (threaded-output) signatures
     t0 = time.time()
-    tables, n_unique, n_consumed = run_all(
-        tables0, jnp.uint64(0), jnp.zeros((), jnp.uint64))
-    tables, n_unique, n_consumed = run_all(tables, n_unique, n_consumed)
-    jax.block_until_ready(tables)
-    total_kmers = int(n_consumed) // 2
+    state = run_all(tables0, jnp.uint64(0), jnp.zeros((), jnp.uint64),
+                    jnp.zeros((), bool))
+    state = run_all(*state)
+    tables, n_unique, n_consumed, overflow = state
+    total_kmers = int(n_consumed) // 2  # host fetch = hard device sync
     warm_s = time.time() - t0
     print("parsed %d reads, %d k-mers in %.2fs (%d chunks); warmup "
           "(incl. compile): %.2fs"
@@ -95,9 +96,11 @@ def main():
     reps = 50
     t0 = time.time()
     for _ in range(reps):
-        tables, n_unique, n_consumed = run_all(tables, n_unique,
-                                               n_consumed)
-    jax.block_until_ready(tables)
+        tables, n_unique, n_consumed, overflow = run_all(
+            tables, n_unique, n_consumed, overflow)
+    # NOTE: jax.block_until_ready does not hard-sync through the axon
+    # tunnel; fetching a scalar to host does.
+    _ = int(n_consumed)
     dt = time.time() - t0
     rate = total_kmers * reps / dt
 

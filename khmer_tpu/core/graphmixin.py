@@ -255,14 +255,15 @@ class HashgraphMixin:
         total_reads = 0
         n_consumed_tags = 0  # new k-mers, counted on host for exactness
         n_consumed = jnp.zeros((), jnp.uint64)
+        overflow = jnp.zeros((), bool)
         # spacing state carried across split-read segments
         carry = [self._tag_density // 2 + 1, None, False]
 
         def commit(chunks):
-            nonlocal n_consumed, n_consumed_tags
+            nonlocal n_consumed, n_consumed_tags, overflow
             for codes, starts, nfill, segments in chunks:
-                tables, n_unique, n_consumed, out = step(
-                    self.tables, self._n_unique, n_consumed,
+                tables, n_unique, n_consumed, overflow, out = step(
+                    self.tables, self._n_unique, n_consumed, overflow,
                     jnp.asarray(codes), jnp.asarray(starts),
                     jnp.int32(nfill))
                 self.tables = tables
@@ -297,6 +298,7 @@ class HashgraphMixin:
             commit([tail])
         if carry[2]:
             self._tag_spacing_tail(carry[0], carry[1])
+        K.check_v2_overflow(overflow)
         return total_reads, n_consumed_tags
 
     def get_tags_for_sequence(self, seq):
@@ -512,6 +514,21 @@ class HashgraphMixin:
         subset = SubsetPartition(self)
         subset.do_partition(start_kmer, end_kmer, break_on_stoptags,
                             stop_big_traversals)
+        return subset
+
+    def do_subset_partition_with_abundance(self, min_count, max_count,
+                                           start_kmer=0, end_kmer=0,
+                                           break_on_stop_tags=False,
+                                           stop_big_traversals=False):
+        """Partition only through k-mers whose count lies in
+        [min_count, max_count] (reference graphs.pyx:833-855,
+        subset.cc:557-613) — streaming/abundance-banded partitioning."""
+        from khmer_tpu.core.partition import SubsetPartition
+
+        subset = SubsetPartition(self)
+        subset.do_partition_with_abundance(
+            start_kmer, end_kmer, min_count, max_count,
+            break_on_stop_tags, stop_big_traversals)
         return subset
 
     def consume_seqfile_and_tag_with_reads_parser(self, parser):

@@ -83,13 +83,19 @@ def _sorted_merge(sorted_arr, new_values):
 
 
 def _walk_level(tv, all_tags_arr, stop_tags_arr, max_breadth,
-                break_on_stop_tags, stop_big_traversals):
+                break_on_stop_tags, stop_big_traversals,
+                count_filter=None):
     """Process one breadth level of one traversal, vectorized.
 
     Sequential-exact: within a level, a node's decision depends only
     on earlier pops' keeper inserts (never on probe results), so
     first-occurrence dedup + ordered masks reproduce the one-at-a-time
     reference. Returns (f, r) survivor arrays needing neighbor probes.
+
+    count_filter (canon array -> bool mask), when given, drops nodes
+    whose sketch count falls outside the wanted abundance range before
+    the keeper insert — the truncate-on-abundance rule
+    (subset.cc:453-456).
     """
     canon = np.minimum(tv.level_f, tv.level_r)
     # first-occurrence dedup within the level (later dups would be
@@ -100,6 +106,8 @@ def _walk_level(tv, all_tags_arr, stop_tags_arr, max_breadth,
     process = ~_sorted_contains(tv.keeper_arr, canon_o)
     if break_on_stop_tags and stop_tags_arr.size:
         process &= ~_sorted_contains(stop_tags_arr, canon_o)
+    if count_filter is not None:
+        process &= count_filter(canon_o)
     if stop_big_traversals:
         # the reference aborts before any pop once keeper > cap; the
         # first insert crossing the cap truncates the rest of the walk
@@ -136,15 +144,27 @@ def _walk_level(tv, all_tags_arr, stop_tags_arr, max_breadth,
 
 
 def find_all_tags_batch(graph, starts, break_on_stop_tags=False,
-                        stop_big_traversals=False):
+                        stop_big_traversals=False, count_range=None):
     """Run find_all_tags for many start k-mers concurrently.
 
     starts: list of (f, r) tuples. Returns a list of tagged-k-mer sets
     identical to sequential reference runs. Each round walks one
     breadth level per traversal (host, vectorized) and batches every
     survivor's 8-neighbor probe into one device call.
+
+    count_range=(min, max) switches to the truncate-on-abundance walk
+    (SubsetPartition::find_all_tags_truncate_on_abundance,
+    subset.cc:399-496): nodes with sketch count outside the closed
+    range are not traversed.
     """
     max_breadth = 2 * graph._tag_density + 1
+    count_filter = None
+    if count_range is not None:
+        cmin, cmax = count_range
+
+        def count_filter(canon):
+            counts = graph.get_counts_for_hashes(canon)
+            return (counts >= cmin) & (counts <= cmax)
     all_tags_arr = np.fromiter(graph.all_tags, np.uint64,
                                len(graph.all_tags))
     all_tags_arr.sort()
@@ -164,7 +184,7 @@ def find_all_tags_batch(graph, starts, break_on_stop_tags=False,
             tv = travs[ti]
             fs, rs = _walk_level(tv, all_tags_arr, stop_tags_arr,
                                  max_breadth, break_on_stop_tags,
-                                 stop_big_traversals)
+                                 stop_big_traversals, count_filter)
             if fs is None or len(fs) == 0:
                 tv.level_f = np.zeros(0, np.uint64)
                 tv.level_r = np.zeros(0, np.uint64)
@@ -212,6 +232,15 @@ def find_all_tags(graph, f, r, break_on_stop_tags=False,
                   stop_big_traversals=False):
     return find_all_tags_batch(graph, [(f, r)], break_on_stop_tags,
                                stop_big_traversals)[0]
+
+
+def find_all_tags_truncate_on_abundance(graph, f, r, min_count, max_count,
+                                        break_on_stop_tags=False,
+                                        stop_big_traversals=False):
+    """Abundance-truncated tag BFS (subset.cc:399-496)."""
+    return find_all_tags_batch(
+        graph, [(f, r)], break_on_stop_tags, stop_big_traversals,
+        count_range=(min_count, max_count))[0]
 
 
 def sweep_for_tags(graph, seq, range=0, break_on_stop_tags=False,
@@ -374,7 +403,7 @@ class SubsetPartition:
 
     def do_partition(self, first_kmer=0, last_kmer=0,
                      break_on_stop_tags=False, stop_big_traversals=False,
-                     batch=DEFAULT_BFS_BATCH):
+                     batch=DEFAULT_BFS_BATCH, count_range=None):
         """BFS + merge over a sorted tag range (subset.cc:501-553)."""
         tags = sorted(self.graph.all_tags)
         lo = tags.index(first_kmer) if first_kmer else 0
@@ -391,17 +420,36 @@ class SubsetPartition:
                 starts.append((f, r))
             tagged_sets = find_all_tags_batch(
                 self.graph, starts, break_on_stop_tags,
-                stop_big_traversals)
+                stop_big_traversals, count_range=count_range)
             for tag, tagged in zip(chunk, tagged_sets):
                 self.assign_partition_id(tag, tagged)
+
+    def do_partition_with_abundance(self, first_kmer=0, last_kmer=0,
+                                    min_count=0, max_count=0,
+                                    break_on_stop_tags=False,
+                                    stop_big_traversals=False,
+                                    batch=DEFAULT_BFS_BATCH):
+        """Partition restricted to an abundance band
+        (SubsetPartition::do_partition_with_abundance,
+        subset.cc:557-613)."""
+        self.do_partition(first_kmer, last_kmer, break_on_stop_tags,
+                          stop_big_traversals, batch=batch,
+                          count_range=(min_count, max_count))
 
     # -- reporting --------------------------------------------------------
 
     def count_partitions(self):
-        """(n_partitions, n_unassigned) — subset.cc:89-113."""
+        """(n_partitions, n_unassigned) — subset.cc:89-113.
+
+        Iterates the graph's tag set (not the map): tags never assigned
+        count as unassigned. The reference's operator[] lookup inserts
+        a NULL map entry for such tags as a side effect, which later
+        partition_sizes calls then see; reproduced for parity.
+        """
         partitions = set()
         n_unassigned = 0
-        for tag, pp in self.partition_map.items():
+        for tag in self.graph.all_tags:
+            pp = self.partition_map.setdefault(int(tag), None)
             if pp is not None:
                 partitions.add(pp.pid)
             else:

@@ -127,15 +127,19 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
     """One fused jit for the flat-stream hot path: read-boundary masks,
     hashing, optional band/mask filters, sketch update, consumed count.
 
-    step(tables, n_unique, n_consumed, codes, starts, nfill[, mask_tables])
-      -> (tables, n_unique, n_consumed, out)
+    step(tables, n_unique, n_consumed, overflow, codes, starts, nfill
+         [, mask_tables])
+      -> (tables, n_unique, n_consumed, overflow, out)
+
+    `overflow` is the sticky v2 collision-overflow flag (device bool);
+    callers thread it through the stream and check it once at the end.
     """
     primes = tuple(int(p) for p in primes)
     if mask_primes is not None:
         mask_primes = tuple(int(p) for p in mask_primes)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(tables, n_unique, n_consumed, codes, starts, nfill,
+    def step(tables, n_unique, n_consumed, overflow, codes, starts, nfill,
              mask_tables=None):
         W = chunk - k + 1
         # read ids from start offsets; windows must stay within one read
@@ -155,6 +159,15 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
                 valid = valid & (counts >= threshold)
             else:
                 valid = valid & (counts <= threshold)
+        if K.use_v2_path(kind, primes, W):
+            tables, n_unique, overflow, out = K.v2_update_core(
+                primes, tables, n_unique, overflow, hashes, valid,
+                with_bigcount, with_event_new)
+            if with_event_new:
+                out["valid"] = valid
+                out["hashes"] = hashes
+            n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
+            return tables, n_unique, n_consumed, overflow, out
         if K.use_image_path(kind, primes):
             tables, n_unique, out = K.image_update_outputs(
                 primes, tables, n_unique, hashes, valid, with_bigcount,
@@ -163,7 +176,7 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
                 out["valid"] = valid
                 out["hashes"] = hashes
             n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
-            return tables, n_unique, n_consumed, out
+            return tables, n_unique, n_consumed, overflow, out
         d = K._dedup_batch(hashes, valid)
         tables, min_old, any_credit = K._apply_update(kind, primes,
                                                       tables, d)
@@ -187,7 +200,7 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
             out["sat_hash"] = jnp.take(d["uh"], sat_idx)
             out["sat_triggers"] = jnp.where(
                 jnp.take(sat, sat_idx), jnp.take(triggers, sat_idx), 0)
-        return tables, n_unique, n_consumed, out
+        return tables, n_unique, n_consumed, overflow, out
 
     return step
 
@@ -355,15 +368,17 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
     tables = sketch.tables
     n_unique = sketch._n_unique
     n_consumed = jnp.zeros((), jnp.uint64)
+    overflow = jnp.zeros((), bool)
     pending_sat = []
 
     def commit(chunks):
-        nonlocal tables, n_unique, n_consumed
+        nonlocal tables, n_unique, n_consumed, overflow
         for codes, starts, nfill in chunks:
             extra = () if mask is None else (mask.tables,)
-            tables, n_unique, n_consumed, out = step(
-                tables, n_unique, n_consumed, jnp.asarray(codes),
-                jnp.asarray(starts), jnp.int32(nfill), *extra)
+            tables, n_unique, n_consumed, overflow, out = step(
+                tables, n_unique, n_consumed, overflow,
+                jnp.asarray(codes), jnp.asarray(starts),
+                jnp.int32(nfill), *extra)
             if "satev_total" in out:
                 # absorb eagerly so the full-event fallback buffers are
                 # released per chunk
@@ -402,6 +417,7 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
     sketch._n_unique = n_unique
     for out in pending_sat:
         sketch._absorb_saturation(out)
+    K.check_v2_overflow(overflow)
     return n_reads, int(n_consumed)
 
 

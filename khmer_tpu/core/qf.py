@@ -51,7 +51,9 @@ class QuotientFilter:
         key_bits = self.nslots.bit_length() - 1 + 8
         key_remainder_bits = 8
         bits_per_slot = key_remainder_bits  # value_bits = 0
-        xnslots = self.nslots + 10 * int(self.nslots ** 0.5)
+        # gqf qf_init: floor(nslots + 10*sqrt(nslots)) — truncate after
+        # the multiply, not before (matters for odd log2(nslots))
+        xnslots = int(self.nslots + 10 * self.nslots ** 0.5)
         slots_per_block = 64
         nblocks = (xnslots + slots_per_block - 1) // slots_per_block
         return dict(nslots=self.nslots, xnslots=xnslots,
@@ -77,15 +79,34 @@ class QuotientFilter:
 
     @classmethod
     def load(cls, f):
-        """Read a SAVED_QFCOUNT body; returns (filter, ksize)."""
-        (ksize,) = struct.unpack("<B", f.read(1))
-        fields = struct.unpack("<11Q", f.read(88))
+        """Read a SAVED_QFCOUNT body; returns (filter, ksize).
+
+        Only this module's deterministic (key, count)-pair payload is
+        accepted. A file written by the reference shares the identical
+        OXLI header and metadata words but stores a raw qfblock dump
+        whose size differs from ndistinct*16, so it is detected and
+        rejected rather than silently misparsed.
+        """
+        def read_exact(n):
+            data = f.read(n)
+            if len(data) != n:
+                raise OSError("Unexpected end of k-mer count file")
+            return data
+
+        (ksize,) = struct.unpack("<B", read_exact(1))
+        fields = struct.unpack("<11Q", read_exact(88))
         (nslots, _xnslots, _key_bits, _value_bits, _krb, _bps,
          range_, _nblocks, _nelts, ndistinct, _nocc) = fields
         qf = cls(nslots)
         if qf.range != range_:
             raise OSError("inconsistent quotient filter header")
-        for _ in range(ndistinct):
-            key, count = struct.unpack("<QQ", f.read(16))
+        payload = f.read()
+        if len(payload) != ndistinct * 16:
+            raise OSError(
+                "unsupported quotient filter payload (raw gqf qfblock "
+                "dumps from the reference implementation cannot be "
+                "loaded; re-save with this library)")
+        for i in range(ndistinct):
+            key, count = struct.unpack_from("<QQ", payload, i * 16)
             qf._counts[key] = count
         return qf, ksize

@@ -53,6 +53,7 @@ class _Sketch:
         self._primes = tuple(int(p) for p in primes)
         self.tables = K.init_tables(self.storage_kind, self._primes)
         self._n_unique = jnp.uint64(0)
+        self._overflow = jnp.zeros((), bool)
         self._use_bigcount = False
         self._bigcounts = {}
 
@@ -68,6 +69,7 @@ class _Sketch:
         return len(self._primes)
 
     def n_unique_kmers(self):
+        K.check_v2_overflow(self._overflow)
         return int(self._n_unique)
 
     def n_occupied(self):
@@ -166,6 +168,9 @@ class _Sketch:
         self.tables, out = self._update_fn()(
             self.tables, self._n_unique, jnp.asarray(hb), jnp.asarray(vb))
         self._n_unique = out["n_unique"]
+        if "v2_overflow" in out:
+            self._overflow = jnp.logical_or(self._overflow,
+                                            out["v2_overflow"])
         if self._use_bigcount and ("sat_total" in out or "satev_total" in out):
             self._absorb_saturation(out)
         return int(np.sum(vb))
@@ -176,6 +181,9 @@ class _Sketch:
             self.tables, self._n_unique, hashes_dev.ravel(),
             valid_dev.ravel())
         self._n_unique = out["n_unique"]
+        if "v2_overflow" in out:
+            self._overflow = jnp.logical_or(self._overflow,
+                                            out["v2_overflow"])
         if self._use_bigcount and ("sat_total" in out or "satev_total" in out):
             self._absorb_saturation(out)
 

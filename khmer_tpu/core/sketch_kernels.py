@@ -328,6 +328,189 @@ def use_image_path(kind, primes):
             and max(int(p) for p in primes) <= IMAGE_PATH_MAX_PRIME)
 
 
+# --------------------------------------------------------------------------
+# v2 fused byte-table update: the counting speed-of-light path.
+#
+# The image path does 4 random ops per (event, table): scatter-add,
+# scatter-min, gather-old, gather-minidx. On TPU every random
+# scatter/gather element costs ~10ns through XLA regardless of locality,
+# so random-op count dominates the counting rate. v2 reduces it to ~2
+# random ops per (event, table) plus one sort per batch:
+#
+#   1. ONE stable sort of (invalid, hash, idx) dedups equal hashes;
+#      per-run stats (count, first batch index) come from a reverse
+#      associative scan — pure vector work, no hidden scatters.
+#   2. ONE concatenated scatter-add of per-unique counts into a flat
+#      [sum(primes)] delta image covers all tables in a single call.
+#   3. ONE full-image vector pass packs (old_count << 23 | delta) and
+#      writes the new saturated tables; ONE concatenated gather of the
+#      packed word gives each (event, table) both its pre-batch count
+#      and its bin's batch total.
+#   4. n_unique credit: an add is "new" iff some table bin was zero at
+#      that moment (storage.hh:577-592). A unique hash whose bin total
+#      equals its own occurrence count is alone in that bin, so credit
+#      is just (old == 0). The rare uniques sharing a bin (delta >
+#      ucnt) are compacted into a fixed RES-slot buffer and resolved
+#      exactly by a small sort (winner = smallest first-index). If a
+#      batch ever exceeds RES collisions the step sets a sticky
+#      overflow flag; callers check it once per stream and re-run via
+#      the fallback path (never silently wrong).
+#
+# Sequential-equivalence argument is the same as the image path's (see
+# module docstring); only the mechanics differ.
+# --------------------------------------------------------------------------
+
+
+def check_v2_overflow(overflow):
+    """Raise if a v2 batch exceeded its collision-resolution budget.
+
+    This is the exactness backstop for the fast consume path: it can
+    only trip on data whose in-batch cross-hash bin collisions exceed
+    1/4 of the batch, which requires tables far smaller than the v2
+    gate permits. Setting KHMER_TPU_NO_V2=1 falls back to the always-
+    safe image/sort paths.
+    """
+    if bool(overflow):
+        raise RuntimeError(
+            "k-mer batch exceeded the fast-path collision budget; "
+            "re-run with KHMER_TPU_NO_V2=1 to use the fallback "
+            "consume path")
+
+
+def use_v2_path(kind, primes, m):
+    """v2 needs bins >> batch so cross-hash bin sharing stays rare.
+
+    Small batches (m <= 4096) always qualify: their resolution buffer
+    covers every possible collision, so the path is unconditionally
+    exact there.
+    """
+    import os
+
+    if os.environ.get("KHMER_TPU_NO_V2"):
+        return False
+    if kind != "byte" or not primes:
+        return False
+    if m >= 1 << 23:
+        return False  # per-bin batch total must fit the packed word
+    primes = [int(p) for p in primes]
+    if sum(primes) >= 2**31 - 1:
+        return False  # flat image must be i32-indexable
+    return min(primes) >= 16 * m or m <= 4096
+
+
+def _run_stats(hashes, valid):
+    """Sort + run-length dedup with scan-based per-run stats.
+
+    Returns dict, all in hash-sorted order (invalid entries last):
+      head   [M] bool  first entry of each equal-hash run (the unique)
+      uh     [M] u64   hash value
+      ucnt   [M] i32   run length (occurrences in batch; 0 off-head)
+      ufirst [M] i32   smallest original batch index in the run
+    """
+    M = hashes.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    inv = jnp.where(valid, jnp.int32(0), jnp.int32(1))
+    inv_s, h_s, idx_s = jax.lax.sort((inv, hashes, idx), num_keys=2)
+    v_s = inv_s == 0
+    head = v_s & ((idx == 0) | (h_s != jnp.roll(h_s, 1))
+                  | ~jnp.roll(v_s, 1))
+    nvalid = jnp.sum(v_s.astype(jnp.int32)).astype(jnp.int32)
+    # next head position at-or-after i, scanned right-to-left
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(head, idx, jnp.int32(M)), reverse=True)
+    nxt_after = jnp.concatenate([nxt[1:], jnp.full(1, M, jnp.int32)])
+    ucnt = jnp.where(head, jnp.minimum(nxt_after, nvalid) - idx, 0)
+    return {"head": head, "uh": h_s, "ucnt": ucnt, "ufirst": idx_s}
+
+
+def v2_update_core(primes, tables, n_unique, overflow, hashes, valid,
+                   with_bigcount, with_event_new):
+    """Fused v2 update. Returns (tables, n_unique, overflow, out)."""
+    M = hashes.shape[0]
+    T = len(primes)
+    offsets = np.cumsum([0] + [int(p) for p in primes])
+    sum_p = int(offsets[-1])
+    # collision-resolution slots: total coverage for small batches;
+    # for large batches the v2 gate (bins >= 16x batch) bounds the
+    # expected collided uniques near M/8, so M//4 has 2x headroom and
+    # the sticky overflow flag guards the tail.
+    res = T * M if M <= 4096 else max(M // 4, 4096)
+
+    d = _run_stats(hashes, valid)
+    head, uh, ucnt, ufirst = d["head"], d["uh"], d["ucnt"], d["ufirst"]
+
+    # flat bin index per (table, unique): [T, M] i32
+    gidx = jnp.stack([
+        (uh % _u64(p) + _u64(offsets[t])).astype(jnp.int32)
+        for t, p in enumerate(primes)])
+    scatter_idx = jnp.where(head[None, :], gidx, jnp.int32(sum_p))
+
+    # one scatter-add for all tables
+    delta = jnp.zeros(sum_p, jnp.int32).at[scatter_idx.ravel()].add(
+        jnp.broadcast_to(ucnt, (T, M)).ravel(), mode="drop")
+
+    # full-image pass: pack (old << 23 | delta), write saturated tables
+    old_concat = jnp.concatenate(
+        [t.astype(jnp.int32) for t in tables])
+    packed = (old_concat << 23) | delta
+    new_tables = tuple(
+        jnp.minimum(old_concat[offsets[t]:offsets[t + 1]]
+                    + delta[offsets[t]:offsets[t + 1]],
+                    MAX_KCOUNT).astype(jnp.uint8)
+        for t in range(T))
+
+    # one gather for all (event, table) pairs
+    g = packed.at[scatter_idx].get(mode="fill", fill_value=0)
+    old_te = g >> 23                       # [T, M]
+    delta_te = g & ((1 << 23) - 1)
+
+    alone = delta_te == ucnt[None, :]
+    credit = alone & (old_te == 0) & head[None, :]
+
+    # rare cross-hash bin sharing: exact winner via compacted sort
+    collided = head[None, :] & ~alone
+    n_col = jnp.sum(collided.astype(jnp.int32))
+    overflow = overflow | (n_col > res)
+    pos = jnp.nonzero(collided.ravel(), size=res,
+                      fill_value=T * M)[0].astype(jnp.int32)
+    live = pos < T * M
+    cbin = jnp.where(live, jnp.take(scatter_idx.ravel(), pos,
+                                    fill_value=sum_p, mode="fill"),
+                     jnp.int32(sum_p))
+    corder = jnp.where(live, jnp.take(ufirst, pos % M), jnp.int32(M))
+    cold = jnp.take(old_te.ravel(), pos, fill_value=1, mode="fill")
+    cbin_s, corder_s, pos_s, cold_s = jax.lax.sort(
+        (cbin, corder, pos, cold), num_keys=2)
+    ridx = jnp.arange(res, dtype=jnp.int32)
+    cwin = (cbin_s < sum_p) & ((ridx == 0)
+                               | (cbin_s != jnp.roll(cbin_s, 1)))
+    extra = cwin & (cold_s == 0)
+    credit = credit.ravel().at[
+        jnp.where(extra, pos_s, jnp.int32(T * M))].set(
+        True, mode="drop").reshape(T, M)
+
+    new_u = jnp.any(credit, axis=0)
+    n_unique = n_unique + jnp.sum(
+        jnp.where(new_u, 1, 0)).astype(jnp.uint64)
+
+    out = {}
+    if with_event_new:
+        out["event_new"] = jnp.zeros(M, bool).at[
+            jnp.where(new_u, ufirst, jnp.int32(M))].set(True, mode="drop")
+    if with_bigcount:
+        min_old = jnp.min(jnp.where(head[None, :], old_te, MAX_KCOUNT),
+                          axis=0)
+        triggers = ucnt - jnp.maximum(MAX_KCOUNT - min_old, 0)
+        sat = head & (triggers > 0)
+        out["sat_total"] = jnp.sum(sat.astype(jnp.int32))
+        slots = min(SAT_SLOTS, M)
+        sat_idx = jnp.nonzero(sat, size=slots, fill_value=M - 1)[0]
+        out["sat_hash"] = jnp.take(uh, sat_idx)
+        out["sat_triggers"] = jnp.where(
+            jnp.take(sat, sat_idx), jnp.take(triggers, sat_idx), 0)
+    return new_tables, n_unique, overflow, out
+
+
 def _apply_update(kind, primes, tables, d):
     """Update all tables; returns (tables, min_old_u, any_credit_u)."""
     M = d["uh"].shape[0]
@@ -357,20 +540,22 @@ def make_update(kind, primes, with_bigcount=False, with_event_new=False):
     """
     primes = tuple(int(p) for p in primes)
 
-    if use_image_path(kind, primes):
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def update_img(tables, n_unique, hashes, valid):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update(tables, n_unique, hashes, valid):
+        M = hashes.shape[0]
+        if use_v2_path(kind, primes, M):
+            tables, n_unique, overflow, out = v2_update_core(
+                primes, tables, n_unique, jnp.zeros((), bool),
+                hashes, valid, with_bigcount, with_event_new)
+            out["n_unique"] = n_unique
+            out["v2_overflow"] = overflow
+            return tables, out
+        if use_image_path(kind, primes):
             tables, n_unique, out = image_update_outputs(
                 primes, tables, n_unique, hashes, valid, with_bigcount,
                 with_event_new)
             out["n_unique"] = n_unique
             return tables, out
-
-        return update_img
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def update(tables, n_unique, hashes, valid):
-        M = hashes.shape[0]
         d = _dedup_batch(hashes, valid)
         tables, min_old, any_credit = _apply_update(kind, primes, tables, d)
         new_u = d["uvalid"] & any_credit

@@ -139,11 +139,16 @@ def main():
                                   float(state_cnts[start_state]))
             print('{0}\t{1:0.7f}'.format(trans, trans_probs[trans]))
     else:
+        # unseen transitions get a large negative finite log2-prob:
+        # float('-inf') would serialize as -Infinity, which is not
+        # valid JSON (RFC 8259) and breaks strict parsers
+        LOGP_FLOOR = -1000.0
+
         def logp(src, dst):
             cnt = trans_cnts.get(src + '-' + dst, 0)
             tot = state_cnts.get(src, 0)
             if cnt == 0 or tot == 0:
-                return float('-inf')
+                return LOGP_FLOOR
             return log(cnt / float(tot), 2)
 
         params = {

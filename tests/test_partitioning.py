@@ -126,3 +126,65 @@ def test_consume_partitioned_fasta(tmp_path):
     assert total_reads == 99
     n_partitions, _ = ng.count_partitions()
     assert n_partitions == 1
+
+
+def _random_seq(rng, n):
+    return "".join("ACGT"[b] for b in rng.integers(0, 4, n))
+
+
+def test_partition_with_abundance_separates_components():
+    """Abundance-banded partitioning (reference
+    tests/test_subset_graph.py:634-676, subset.cc:557-613): traversal
+    only passes through k-mers inside the count band, so components of
+    different coverage partition independently."""
+    import numpy as np
+    from khmer_tpu import Countgraph
+
+    rng = np.random.default_rng(11)
+    first = _random_seq(rng, 300)
+    second = _random_seq(rng, 300)
+    kh = Countgraph(20, 1e4, 4)
+    for _ in range(10):
+        kh.consume_and_tag(first)
+    for _ in range(5):
+        kh.consume_and_tag(second)
+    n_tags_second = len(kh.get_tags_for_sequence(second))
+
+    # band [8, 50] covers only `first`'s k-mers (count 10 vs 5);
+    # second's tags stay unassigned (reference asserts (1, 6) the
+    # same way in test_partition_on_abundance_2)
+    p = kh.do_subset_partition_with_abundance(8, 50)
+    assert p.count_partitions() == (1, n_tags_second)
+    sizes, _ = p.partition_sizes(min_size=2)
+    assert len(sizes) == 1
+
+    # band [4, 7] covers only `second`
+    p2 = kh.do_subset_partition_with_abundance(4, 7)
+    sizes2, _ = p2.partition_sizes(min_size=2)
+    assert len(sizes2) == 1
+
+    # full band behaves like plain partitioning: both components
+    p3 = kh.do_subset_partition_with_abundance(1, 255)
+    ref = kh.do_subset_partition()
+    assert p3.count_partitions() == ref.count_partitions() == (2, 0)
+
+
+def test_find_all_tags_truncate_on_abundance_matches_plain():
+    """With a fully covering band the truncate variant equals plain
+    find_all_tags."""
+    import numpy as np
+    from khmer_tpu import Countgraph
+    from khmer_tpu.core.partition import (find_all_tags,
+                                          find_all_tags_truncate_on_abundance)
+    from khmer_tpu.ops import hashing as H
+
+    rng = np.random.default_rng(3)
+    seq = _random_seq(rng, 200)
+    kh = Countgraph(20, 1e4, 4)
+    kh.consume_and_tag(seq)
+    _, f, r = H._hash_scalar(seq[:20], 20)
+    plain = find_all_tags(kh, f, r)
+    banded = find_all_tags_truncate_on_abundance(kh, f, r, 1, 255)
+    assert banded == plain
+    # a band excluding everything finds no tags
+    assert find_all_tags_truncate_on_abundance(kh, f, r, 200, 255) == set()

@@ -134,3 +134,44 @@ def test_qf_load_rejects_wrong_type(tmp_path):
     cg.save(fname)
     with pytest.raises(OSError):
         QFCounttable.load(fname)
+
+
+def test_qf_xnslots_matches_gqf(tmp_path):
+    """gqf qf_init: xnslots = floor(nslots + 10*sqrt(nslots)) — the
+    sqrt must not be truncated before the multiply (2048 -> 2500)."""
+    from khmer_tpu.core.qf import QuotientFilter
+
+    assert QuotientFilter(2048)._metadata()["xnslots"] == 2500
+    assert QuotientFilter(1024)._metadata()["xnslots"] == 1344
+
+
+def test_qf_load_rejects_reference_qfblock_payload(tmp_path):
+    """A reference-written .qf shares our header but stores a raw
+    qfblock dump; load must reject it instead of misparsing counts."""
+    qf = QFCounttable(20, 1024)
+    qf.count("A" * 20)
+    fname = str(tmp_path / "ref.qf")
+    qf.save(fname)
+    with open(fname, "rb") as fp:
+        data = bytearray(fp.read())
+    # simulate a qfblock payload: wrong trailing size for ndistinct
+    data.extend(b"\0" * 24)
+    bad = str(tmp_path / "refblock.qf")
+    with open(bad, "wb") as fp:
+        fp.write(bytes(data))
+    with pytest.raises(OSError, match="qfblock"):
+        QFCounttable.load(bad)
+
+
+def test_qf_load_truncated_raises_oserror(tmp_path):
+    qf = QFCounttable(20, 1024)
+    qf.count("A" * 20)
+    fname = str(tmp_path / "t.qf")
+    qf.save(fname)
+    with open(fname, "rb") as fp:
+        data = fp.read()
+    short = str(tmp_path / "short.qf")
+    with open(short, "wb") as fp:
+        fp.write(data[:30])  # cuts inside the metadata words
+    with pytest.raises(OSError, match="end of k-mer count file"):
+        QFCounttable.load(short)
