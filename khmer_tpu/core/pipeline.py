@@ -159,6 +159,17 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
                 valid = valid & (counts >= threshold)
             else:
                 valid = valid & (counts <= threshold)
+        if kind == "blocked":
+            from khmer_tpu.core import blocked
+
+            tables, n_unique, overflow, out = blocked.blocked_update_core(
+                primes[0], tables, n_unique, overflow, hashes, valid,
+                with_event_new)
+            if with_event_new:
+                out["valid"] = valid
+                out["hashes"] = hashes
+            n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
+            return tables, n_unique, n_consumed, overflow, out
         if K.use_v2_path(kind, primes, W):
             tables, n_unique, overflow, out = K.v2_update_core(
                 primes, tables, n_unique, overflow, hashes, valid,

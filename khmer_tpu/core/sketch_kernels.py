@@ -423,6 +423,57 @@ def _run_stats(hashes, valid):
     return {"head": head, "uh": h_s, "ucnt": ucnt, "ufirst": idx_s}
 
 
+def _sort_compact(flags, size):
+    """Positions of set flags, ascending, via ONE stable pair sort.
+
+    Drop-in for jnp.nonzero(flags, size=size, fill_value=n) — which
+    XLA lowers catastrophically on TPU (~30x slower than a sort).
+    Returns i32 positions; unset slots hold n (= len(flags)).
+    """
+    n = flags.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(flags, jnp.int32(0), jnp.int32(1))
+    _, pos_s = jax.lax.sort((key, pos), num_keys=1)
+    live = jnp.arange(size) < jnp.sum(flags.astype(jnp.int32))
+    return jnp.where(live, pos_s[:size], jnp.int32(n))
+
+
+def _resolve_collisions(collided, counter_id, id_bound, ufirst, old_te,
+                        credit, overflow, res):
+    """Exact winner-by-order credit for batch-shared counters.
+
+    collided/counter_id/old_te are [T, M]; counter_id holds a globally
+    unique i32 id per (table, bin) with id_bound (static int) marking
+    inactive entries. The collided entries are compacted into `res` slots via a
+    stable pair sort, grouped by counter id, and the smallest-ufirst
+    entry of each fresh (old == 0) group earns the new-k-mer credit.
+    Sets `overflow` if more than `res` entries collide (the caller
+    raises rather than miscount).
+    """
+    T, M = collided.shape
+    n_col = jnp.sum(collided.astype(jnp.int32))
+    overflow = overflow | (n_col > res)
+    pos = _sort_compact(collided.ravel(), res)
+    live = pos < T * M
+    bound = jnp.int32(id_bound)
+    cbin = jnp.where(live, jnp.take(counter_id.ravel(), pos,
+                                    fill_value=np.int32(id_bound),
+                                    mode="fill"),
+                     bound)
+    corder = jnp.where(live, jnp.take(ufirst, pos % M), jnp.int32(M))
+    cold = jnp.take(old_te.ravel(), pos, fill_value=1, mode="fill")
+    cbin_s, corder_s, pos_s, cold_s = jax.lax.sort(
+        (cbin, corder, pos, cold), num_keys=2)
+    ridx = jnp.arange(res, dtype=jnp.int32)
+    cwin = (cbin_s < bound) & ((ridx == 0)
+                               | (cbin_s != jnp.roll(cbin_s, 1)))
+    extra = cwin & (cold_s == 0)
+    credit = credit.ravel().at[
+        jnp.where(extra, pos_s, jnp.int32(T * M))].set(
+        True, mode="drop").reshape(T, M)
+    return credit, overflow
+
+
 def v2_update_core(primes, tables, n_unique, overflow, hashes, valid,
                    with_bigcount, with_event_new):
     """Fused v2 update. Returns (tables, n_unique, overflow, out)."""
@@ -449,45 +500,36 @@ def v2_update_core(primes, tables, n_unique, overflow, hashes, valid,
     delta = jnp.zeros(sum_p, jnp.int32).at[scatter_idx.ravel()].add(
         jnp.broadcast_to(ucnt, (T, M)).ravel(), mode="drop")
 
-    # full-image pass: pack (old << 23 | delta), write saturated tables
+    # full-image pass: pack (old << 8 | min(delta, 255)) into u16 —
+    # random-gather cost is element-bound, so one narrow packed gather
+    # beats separate old/delta gathers — and write the saturated tables
     old_concat = jnp.concatenate(
         [t.astype(jnp.int32) for t in tables])
-    packed = (old_concat << 23) | delta
+    delta_c = jnp.minimum(delta, MAX_KCOUNT)
+    packed = ((old_concat << 8) | delta_c).astype(jnp.uint16)
     new_tables = tuple(
         jnp.minimum(old_concat[offsets[t]:offsets[t + 1]]
-                    + delta[offsets[t]:offsets[t + 1]],
+                    + delta_c[offsets[t]:offsets[t + 1]],
                     MAX_KCOUNT).astype(jnp.uint8)
         for t in range(T))
 
     # one gather for all (event, table) pairs
-    g = packed.at[scatter_idx].get(mode="fill", fill_value=0)
-    old_te = g >> 23                       # [T, M]
-    delta_te = g & ((1 << 23) - 1)
+    g = packed.at[scatter_idx].get(mode="fill", fill_value=0).astype(
+        jnp.int32)
+    old_te = g >> 8                        # [T, M]
+    delta_te = g & 0xFF                    # batch bin total, clamped
 
-    alone = delta_te == ucnt[None, :]
+    # a clamped total is ambiguous, so a saturated bin goes through the
+    # exact resolution path (all its uniques are flagged, so the
+    # winner-by-order rule still sees the complete bin)
+    alone = (delta_te == ucnt[None, :]) & (delta_te < MAX_KCOUNT)
     credit = alone & (old_te == 0) & head[None, :]
 
     # rare cross-hash bin sharing: exact winner via compacted sort
     collided = head[None, :] & ~alone
-    n_col = jnp.sum(collided.astype(jnp.int32))
-    overflow = overflow | (n_col > res)
-    pos = jnp.nonzero(collided.ravel(), size=res,
-                      fill_value=T * M)[0].astype(jnp.int32)
-    live = pos < T * M
-    cbin = jnp.where(live, jnp.take(scatter_idx.ravel(), pos,
-                                    fill_value=sum_p, mode="fill"),
-                     jnp.int32(sum_p))
-    corder = jnp.where(live, jnp.take(ufirst, pos % M), jnp.int32(M))
-    cold = jnp.take(old_te.ravel(), pos, fill_value=1, mode="fill")
-    cbin_s, corder_s, pos_s, cold_s = jax.lax.sort(
-        (cbin, corder, pos, cold), num_keys=2)
-    ridx = jnp.arange(res, dtype=jnp.int32)
-    cwin = (cbin_s < sum_p) & ((ridx == 0)
-                               | (cbin_s != jnp.roll(cbin_s, 1)))
-    extra = cwin & (cold_s == 0)
-    credit = credit.ravel().at[
-        jnp.where(extra, pos_s, jnp.int32(T * M))].set(
-        True, mode="drop").reshape(T, M)
+    credit, overflow = _resolve_collisions(
+        collided, scatter_idx, sum_p, ufirst, old_te,
+        credit, overflow, res)
 
     new_u = jnp.any(credit, axis=0)
     n_unique = n_unique + jnp.sum(
@@ -504,10 +546,14 @@ def v2_update_core(primes, tables, n_unique, overflow, hashes, valid,
         sat = head & (triggers > 0)
         out["sat_total"] = jnp.sum(sat.astype(jnp.int32))
         slots = min(SAT_SLOTS, M)
-        sat_idx = jnp.nonzero(sat, size=slots, fill_value=M - 1)[0]
-        out["sat_hash"] = jnp.take(uh, sat_idx)
+        sat_idx = _sort_compact(sat, slots)
+        picked = sat_idx < M
+        out["sat_hash"] = jnp.where(
+            picked, jnp.take(uh, sat_idx, mode="fill",
+                             fill_value=_U64_MAX), _U64_MAX)
         out["sat_triggers"] = jnp.where(
-            jnp.take(sat, sat_idx), jnp.take(triggers, sat_idx), 0)
+            picked, jnp.take(triggers, sat_idx, mode="fill",
+                             fill_value=0), 0)
     return new_tables, n_unique, overflow, out
 
 
@@ -581,6 +627,10 @@ def make_update(kind, primes, with_bigcount=False, with_event_new=False):
 
 
 def _gather_counts(kind, primes, tables, hashes):
+    if kind == "blocked":
+        from khmer_tpu.core import blocked
+
+        return blocked.gather_counts(primes[0], tables, hashes)
     if kind == "byte":
         counts = jnp.full(hashes.shape, jnp.uint16(MAX_KCOUNT))
         for t, p in enumerate(primes):
@@ -713,6 +763,11 @@ def bit_occupied(table0):
 
 def init_tables(kind, primes):
     """Allocate zeroed device tables for a storage kind."""
+    if kind == "blocked":
+        from khmer_tpu.core import blocked
+
+        return tuple(jnp.zeros((int(p), blocked.LANES), dtype=jnp.uint8)
+                     for p in primes)
     arrays = []
     for p in primes:
         p = int(p)
