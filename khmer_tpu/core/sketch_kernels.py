@@ -501,8 +501,9 @@ def v2_update_core(primes, tables, n_unique, overflow, hashes, valid,
         jnp.broadcast_to(ucnt, (T, M)).ravel(), mode="drop")
 
     # full-image pass: pack (old << 8 | min(delta, 255)) into u16 —
-    # random-gather cost is element-bound, so one narrow packed gather
-    # beats separate old/delta gathers — and write the saturated tables
+    # random-gather cost is element-bound (row fetches stop being
+    # cheaper past ~2M indices), so one narrow packed gather beats
+    # separate old/delta gathers — and write the saturated tables
     old_concat = jnp.concatenate(
         [t.astype(jnp.int32) for t in tables])
     delta_c = jnp.minimum(delta, MAX_KCOUNT)

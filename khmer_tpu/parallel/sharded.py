@@ -170,6 +170,192 @@ def make_sharded_consume(primes, shard_sizes, k, chunk, mesh):
     return jax.jit(step, donate_argnums=(0,))
 
 
+class ShardedBlockedCountgraph:
+    """Blocked Count-Min sharded by block range over a device mesh.
+
+    The TPU-native layout (core/blocked.py) shards more cleanly than
+    the reference's independent prime tables: all four sub-counters of
+    a k-mer live in ONE 128-byte block, so exactly one device owns
+    every event — per-event new-k-mer credit is computed entirely
+    locally and devices join with a single scalar psum (the exact
+    layout needs a per-event OR across devices instead).
+    """
+
+    storage_kind = "blocked"
+    hash_family = "twobit"
+
+    def __init__(self, ksize, starting_size, n_tables, mesh):
+        from khmer_tpu.core import blocked as B
+        from khmer_tpu.core.sketch_kernels import get_n_primes_near_x
+
+        self.mesh = mesh
+        self.D = mesh.devices.size
+        self._ksize = int(ksize)
+        want = max(int(starting_size) * max(int(n_tables), 1)
+                   // B.LANES, 4)
+        self.nblocks = get_n_primes_near_x(1, want + 1)[0]
+        self._shard = _pad_to(self.nblocks, self.D) // self.D
+        sharding = NamedSharding(mesh, P(AXIS, None))
+        self.tables = (jax.device_put(
+            jnp.zeros((self._shard * self.D, B.LANES), jnp.uint8),
+            sharding),)
+        self._n_unique = jnp.zeros((), jnp.uint64)
+        self._overflow = jnp.zeros((), bool)
+
+    def ksize(self):
+        return self._ksize
+
+    def n_unique_kmers(self):
+        K.check_v2_overflow(self._overflow)
+        return int(self._n_unique)
+
+    def consume_chunk(self, codes, starts, nfill):
+        fn = make_sharded_blocked_consume(
+            self.nblocks, self._shard, self._ksize, len(codes),
+            self.mesh)
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        codes = jax.device_put(jnp.asarray(codes), sharding)
+        starts = jax.device_put(jnp.asarray(starts),
+                                NamedSharding(self.mesh, P()))
+        self.tables, self._n_unique, self._overflow, n_cons = fn(
+            self.tables, self._n_unique, self._overflow, codes, starts,
+            jnp.int32(nfill))
+        return int(n_cons)
+
+    def get_counts(self, hashes):
+        fn = make_sharded_blocked_get(self.nblocks, self._shard,
+                                      self.mesh)
+        return np.asarray(fn(self.tables, jnp.asarray(hashes)))
+
+    def to_local(self):
+        """Gather shards into a single-device BlockedCountgraph."""
+        from khmer_tpu.core.blocked import BlockedCountgraph
+
+        g = BlockedCountgraph(self._ksize, 1, 1,
+                              primes=(self.nblocks,))
+        g.tables = (jnp.asarray(
+            np.asarray(self.tables[0])[: self.nblocks]),)
+        g._n_unique = self._n_unique
+        g._overflow = self._overflow
+        return g
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_blocked_consume(nblocks, shard, k, chunk, mesh):
+    from khmer_tpu.core import blocked as B
+
+    D = mesh.devices.size
+    NB = int(nblocks)
+    local = chunk // D
+    W = chunk - k + 1
+
+    def step(tables, n_unique, overflow, codes, starts, nfill):
+        def body(tables, n_unique, overflow, codes_local, starts, nfill):
+            d_idx = jax.lax.axis_index(AXIS)
+            table = tables[0]  # [shard, 128]
+            halo = jax.lax.ppermute(
+                codes_local[: k - 1], AXIS,
+                [(i, (i - 1) % D) for i in range(D)])
+            ext = jnp.concatenate([codes_local, halo])
+            _, f, r = H.rolling_hash_windows(ext[None, :], k)
+            local_h = jnp.minimum(f, r)[0][:local]
+            hashes = jax.lax.all_gather(local_h, AXIS, tiled=True)[:W]
+            rid = jnp.zeros(chunk, jnp.int32).at[starts].add(
+                1, mode="drop")
+            rid = jnp.cumsum(rid)
+            valid = (rid[:W] == rid[k - 1:]) & \
+                (jnp.arange(W, dtype=jnp.int32) + (k - 1) < nfill)
+
+            d = K._run_stats(hashes, valid)
+            head, uh, ucnt, ufirst = (d["head"], d["uh"], d["ucnt"],
+                                      d["ufirst"])
+            M = uh.shape[0]
+            res = max(M // 4, 4096)
+            block = (uh % np.uint64(NB)).astype(jnp.int32)
+            lo = (d_idx * shard).astype(jnp.int32)
+            mine = head & (block >= lo) & (block < lo + shard)
+            safe = jnp.where(mine, block - lo, jnp.int32(shard))
+            offq = B._offsets(uh)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (M, B.SUB, B.QUART), 2)
+            onehot = lane == jnp.transpose(offq)[:, :, None]
+            rows = jnp.where(onehot, ucnt[:, None, None],
+                             0).reshape(M, B.LANES)
+            delta = jnp.zeros((shard, B.LANES), jnp.int32).at[safe].add(
+                rows, mode="drop")
+            old = table.astype(jnp.int32)
+            delta_c = jnp.minimum(delta, K.MAX_KCOUNT)
+            packed = ((old << 8) | delta_c).astype(jnp.uint16)
+            new_table = jnp.minimum(old + delta_c,
+                                    K.MAX_KCOUNT).astype(jnp.uint8)
+            g = packed.at[safe].get(mode="fill", fill_value=0).astype(
+                jnp.int32)
+            gv = B._select_lanes(g.reshape(M, B.SUB, B.QUART), offq)
+            old_te = gv >> 8
+            delta_te = gv & 0xFF
+            alone = (delta_te == ucnt[None, :]) \
+                & (delta_te < K.MAX_KCOUNT)
+            credit = alone & (old_te == 0) & mine[None, :]
+            collided = mine[None, :] & ~alone
+            counter_id = jnp.where(
+                mine[None, :],
+                safe[None, :] * B.LANES
+                + jnp.arange(B.SUB, dtype=jnp.int32)[:, None] * B.QUART
+                + offq,
+                jnp.int32((shard + 1) * B.LANES))
+            credit, overflow = K._resolve_collisions(
+                collided, counter_id, (shard + 1) * B.LANES, ufirst,
+                old_te, credit, overflow, res)
+            # every event is owned by exactly one device: scalar join
+            n_unique = n_unique + jax.lax.psum(
+                jnp.sum(jnp.any(credit, axis=0).astype(jnp.uint32)),
+                AXIS).astype(jnp.uint64)
+            overflow = jax.lax.psum(
+                overflow.astype(jnp.int32), AXIS) > 0
+            n_cons = jnp.sum(valid).astype(jnp.uint64)
+            return (new_table,), n_unique, overflow, n_cons
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=((P(AXIS, None),), P(), P(), P(AXIS), P(), P()),
+            out_specs=((P(AXIS, None),), P(), P(), P()),
+            check_vma=False,
+        )(tables, n_unique, overflow, codes, starts, nfill)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_blocked_get(nblocks, shard, mesh):
+    from khmer_tpu.core import blocked as B
+
+    NB = int(nblocks)
+
+    def get(tables, hashes):
+        def body(tables, hashes):
+            d_idx = jax.lax.axis_index(AXIS)
+            n = hashes.shape[0]
+            block = (hashes % np.uint64(NB)).astype(jnp.int32)
+            lo = (d_idx * shard).astype(jnp.int32)
+            mine = (block >= lo) & (block < lo + shard)
+            safe = jnp.where(mine, block - lo, 0)
+            offq = B._offsets(hashes)
+            g = tables[0].at[safe].get(mode="clip").astype(jnp.int32)
+            gv = B._select_lanes(g.reshape(n, B.SUB, B.QUART), offq)
+            c = jnp.min(gv, axis=0)
+            c = jnp.where(mine, c, jnp.int32(K.MAX_KCOUNT))
+            return jax.lax.pmin(c, AXIS).astype(jnp.uint16)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=((P(AXIS, None),), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(tables, hashes)
+
+    return jax.jit(get)
+
+
 @functools.lru_cache(maxsize=None)
 def make_sharded_get(primes, shard_sizes, mesh, n):
     D = mesh.devices.size

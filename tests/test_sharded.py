@@ -95,3 +95,45 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(4)
+
+
+def test_sharded_blocked_matches_single_device(mesh):
+    """Block-range-sharded blocked Count-Min == single-device blocked
+    sketch: counts, n_unique, and gathered table bytes."""
+    from khmer_tpu.core.blocked import BlockedCountgraph
+
+    k = 8
+    chunk = 1 << 12
+    rng = np.random.default_rng(13)
+    reads = ["".join("ATCG"[b] for b in rng.integers(0, 4, 50))
+             for _ in range(50)]
+    reads = reads + reads[:8]
+
+    packer = pipeline.FlatPacker(k, chunk=chunk)
+    chunks = []
+    for seq in reads:
+        chunks.extend(packer.add(seq))
+    tail = packer.flush()
+    if tail is not None:
+        chunks.append(tail)
+
+    graph = sharded.ShardedBlockedCountgraph(k, 4096, 4, mesh)
+    oracle = BlockedCountgraph(k, 1, 1, primes=(graph.nblocks,))
+    for codes, starts, nfill in chunks:
+        graph.consume_chunk(codes, starts, nfill)
+    for seq in reads:
+        oracle.consume(seq)
+
+    all_hashes = np.unique(np.concatenate(
+        [oracle._hashes_for_sequence(s) for s in reads]))
+    pad = ((len(all_hashes) + 255) // 256) * 256
+    hp = np.zeros(pad, dtype=np.uint64)
+    hp[: len(all_hashes)] = all_hashes
+    got = graph.get_counts(hp)[: len(all_hashes)]
+    want = oracle.get_counts_for_hashes(all_hashes)
+    np.testing.assert_array_equal(got, want)
+    assert graph.n_unique_kmers() == oracle.n_unique_kmers()
+
+    local = graph.to_local()
+    np.testing.assert_array_equal(np.asarray(local.tables[0]),
+                                  np.asarray(oracle.tables[0]))
