@@ -22,7 +22,7 @@ from khmer_tpu.cli.args import (FileType as khFileType, add_loadgraph_args,
                                 build_counting_args, calculate_graphsize,
                                 check_argument_range, report_on_config,
                                 sanitize_help)
-from khmer_tpu.core.diginorm import BatchedNormalizer
+from khmer_tpu.core.diginorm_scan import ScanNormalizer
 from khmer_tpu.io.fastx import FastxParser, write_record
 from khmer_tpu.io.pairing import broken_paired_reader, clean_input_reads
 from khmer_tpu.utils.kfile import (add_output_compression_type, check_space,
@@ -32,7 +32,7 @@ from khmer_tpu.utils.kfile import (add_output_compression_type, check_space,
 from khmer_tpu.utils.logger import configure_logging, log_error, log_info
 
 DEFAULT_DESIRED_COVERAGE = 20
-WINDOW = 512
+WINDOW = 2048
 
 
 class WithDiagnostics:
@@ -199,7 +199,13 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
         log_info('making countgraph')
         countgraph = khmer_args.create_countgraph(args)
 
-    norm = BatchedNormalizer(countgraph, args.cutoff, window=WINDOW)
+    if countgraph.storage_kind == "byte":
+        norm = ScanNormalizer(countgraph, args.cutoff, window=WINDOW)
+    else:
+        from khmer_tpu.core.diginorm import BatchedNormalizer
+
+        norm = BatchedNormalizer(countgraph, args.cutoff, window=512)
+        norm.finalize = lambda: None
     diag = WithDiagnostics(report_fp, args.report_frequency)
 
     files = []
@@ -252,6 +258,7 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
                 outfp.close()
         diag.finish_file(filename, reads_start)
 
+    norm.finalize()
     log_info('Total number of unique k-mers: {umers}',
              umers=countgraph.n_unique_kmers())
 

@@ -134,6 +134,7 @@ class Trimmer:
         self.bp_skipped = 0
         self.do_normalize = False
         self.diginorm_coverage = None
+        self._scan = None
 
     def set_diginorm(self, coverage):
         self.do_normalize = True
@@ -152,39 +153,85 @@ class Trimmer:
     def pass1(self, reader, saver):
         graph = self.graph
         k = graph.ksize()
-        TRIM = self.trim_at_coverage
-        CUTOFF = self.cutoff
-        DIGI = self.diginorm_coverage
 
+        if graph.storage_kind == "byte":
+            from khmer_tpu.core.diginorm_scan import ScanTrimmerState
+
+            if self._scan is None:
+                self._scan = ScanTrimmerState(
+                    graph, self.cutoff, self.trim_at_coverage,
+                    self.diginorm_coverage if self.do_normalize
+                    else None, window=WINDOW)
         for window in self._windows(reader):
-            seqs = [r.cleaned_seq for b in window for r in b]
-            win = SeqWindow(graph, seqs)
-            si = 0
-            for bundle in window:
-                idxs = list(range(si, si + len(bundle)))
-                si += len(bundle)
+            res = None
+            if self._scan is not None:
+                res = self._scan.process_window(window)
+            if res is None:
+                self.sync()
+                yield from self._pass1_host_window(window, saver)
+                if self._scan is not None:
+                    self._scan.reload()
+                continue
+            branch, trim_at = res
+            for bi, bundle in enumerate(window):
                 self.n_reads += len(bundle)
                 self.n_bp += sum(len(r.sequence) for r in bundle)
-
-                min_coverage = min(win.median(i) for i in idxs)
-                if self.do_normalize and min_coverage >= DIGI:
+                if branch[bi] == 0:      # --diginorm discard
                     continue
-                if min_coverage >= TRIM:
-                    for i, read in zip(idxs, bundle):
-                        counts = win.counts(i)
-                        trim_at = trim_pos_from_counts(
-                            counts, k, CUTOFF, len(read.cleaned_seq))
-                        record, did_trim = _apply_trim(k, read, trim_at)
+                if branch[bi] == 1:      # high coverage: trim + emit
+                    for j, read in enumerate(bundle):
+                        record, did_trim = _apply_trim(
+                            k, read, int(trim_at[bi, j]))
                         if did_trim:
                             self.trimmed_reads += 1
                         if record:
                             yield record
-                else:
-                    for i, read in zip(idxs, bundle):
-                        win.consume(i)
+                else:                    # low coverage: consume + save
+                    for read in bundle:
                         write_record(read, saver)
                         self.n_saved += 1
-            win.flush()
+
+    def sync(self):
+        """Flush the device scan state back into the countgraph."""
+        if self._scan is not None:
+            self._scan.finalize()
+
+    def _pass1_host_window(self, window, saver):
+        """Host-exact pass-1 window (non-byte storage / long reads)."""
+        graph = self.graph
+        k = graph.ksize()
+        TRIM = self.trim_at_coverage
+        CUTOFF = self.cutoff
+        DIGI = self.diginorm_coverage
+
+        seqs = [r.cleaned_seq for b in window for r in b]
+        win = SeqWindow(graph, seqs)
+        si = 0
+        for bundle in window:
+            idxs = list(range(si, si + len(bundle)))
+            si += len(bundle)
+            self.n_reads += len(bundle)
+            self.n_bp += sum(len(r.sequence) for r in bundle)
+
+            min_coverage = min(win.median(i) for i in idxs)
+            if self.do_normalize and min_coverage >= DIGI:
+                continue
+            if min_coverage >= TRIM:
+                for i, read in zip(idxs, bundle):
+                    counts = win.counts(i)
+                    trim_at = trim_pos_from_counts(
+                        counts, k, CUTOFF, len(read.cleaned_seq))
+                    record, did_trim = _apply_trim(k, read, trim_at)
+                    if did_trim:
+                        self.trimmed_reads += 1
+                    if record:
+                        yield record
+            else:
+                for i, read in zip(idxs, bundle):
+                    win.consume(i)
+                    write_record(read, saver)
+                    self.n_saved += 1
+        win.flush()
 
     def pass2(self, reader):
         graph = self.graph
@@ -352,6 +399,7 @@ def main():
                  kept=trimmer.n_saved - save_start,
                  total=trimmer.n_reads - n_start)
 
+    trimmer.sync()  # flush device scan state before the read-only pass
     n_reads = trimmer.n_reads
     n_bp = trimmer.n_bp
     n_skipped = trimmer.n_skipped

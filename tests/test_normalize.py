@@ -125,3 +125,54 @@ def test_normalize_by_median_savegraph(tmp_path):
     runscript('normalize-by-median.py', args, in_directory=str(tmp_path))
     g = load_countgraph(ct)
     assert g.ksize() == 17
+
+
+def test_scan_normalizer_matches_delta_engine():
+    """The device-scan diginorm engine must reproduce the established
+    host-exact delta-map engine decision-for-decision, including the
+    final table state and n_unique accounting."""
+    import numpy as np
+    from khmer_tpu import Countgraph
+    from khmer_tpu.core.diginorm import BatchedNormalizer
+    from khmer_tpu.core.diginorm_scan import ScanNormalizer
+
+    class Rec:
+        def __init__(self, seq):
+            self.name = "r"
+            self.sequence = seq
+            self.cleaned_seq = seq
+            self.quality = None
+
+    rng = np.random.default_rng(21)
+    base = ["".join("ACGT"[b] for b in rng.integers(0, 4, 60))
+            for _ in range(12)]
+    reads = []
+    for i in range(600):
+        src = base[rng.integers(0, len(base))]
+        s = rng.integers(0, len(src) - 40)
+        reads.append(src[s:s + 40])
+    # bundle pairs and singletons
+    bundles = []
+    i = 0
+    while i < len(reads):
+        if rng.random() < 0.5 and i + 1 < len(reads):
+            bundles.append([Rec(reads[i]), Rec(reads[i + 1])])
+            i += 2
+        else:
+            bundles.append([Rec(reads[i])])
+            i += 1
+
+    g1 = Countgraph(20, 4096, 3)
+    ref = BatchedNormalizer(g1, 5, window=64)
+    g2 = Countgraph(20, 4096, 3)
+    scan = ScanNormalizer(g2, 5, window=64)
+
+    for s in range(0, len(bundles), 64):
+        w = bundles[s:s + 64]
+        want = ref.process_window(w)
+        got = scan.process_window(w)
+        assert [len(x) for x in got] == [len(x) for x in want]
+    scan.finalize()
+    assert g2.n_unique_kmers() == g1.n_unique_kmers()
+    for a, b in zip(g2.tables, g1.tables):
+        assert (np.asarray(a) == np.asarray(b)).all()
