@@ -68,6 +68,13 @@ def get_parser():
                         help='Overwrite output file if it exists')
     parser.add_argument('-q', '--quiet', dest='quiet', default=False,
                         action='store_true')
+    parser.add_argument('--tpu-layout', dest='tpu_layout',
+                        choices=['exact', 'blocked'], default='exact',
+                        help="Sketch layout: 'exact' is bit-compatible "
+                        "with khmer's OXLI countgraphs; 'blocked' is the "
+                        "TPU-native 128-byte-block layout (~3x counting "
+                        "rate at equal memory, khmer_tpu-only file "
+                        "format, no bigcount).")
     return parser
 
 
@@ -98,8 +105,16 @@ def main():
     with open(info_filename, 'w') as info_fp:
         print('khmer version:', khmer_tpu.__version__, file=info_fp)
 
-    log_info('making countgraph')
-    countgraph = khmer_args.create_countgraph(args)
+    if getattr(args, 'tpu_layout', 'exact') == 'blocked':
+        from khmer_tpu.core.blocked import BlockedCountgraph
+
+        log_info('making TPU-native blocked countgraph')
+        countgraph = BlockedCountgraph(
+            args.ksize, calculate_graphsize(args, 'countgraph'),
+            args.n_tables)
+    else:
+        log_info('making countgraph')
+        countgraph = khmer_args.create_countgraph(args)
 
     filename = None
     total_num_reads = 0

@@ -199,6 +199,11 @@ class _BlockedBase(_Sketch):
     def n_tables(self):
         return SUB
 
+    def hashsizes(self):
+        # four sub-tables of nblocks*32 counters each (so the FP-rate
+        # guard computes (occupancy/subtable_size)**4 meaningfully)
+        return [self._primes[0] * QUART] * SUB
+
     def _update_fn(self, with_event_new=False):
         return make_blocked_update(self.nblocks, with_event_new)
 

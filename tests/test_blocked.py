@@ -162,3 +162,24 @@ def test_blocked_graph_ops():
     bg.consume_and_tag(seq)
     assert len(bg.all_tags) >= 1
     assert bg.kmer_degree(seq[:20]) >= 1
+
+
+def test_blocked_cli_load_into_counting(tmp_path):
+    """--tpu-layout blocked builds, saves, and reloads via the CLI."""
+    import sys
+
+    from khmer_tpu.cli import load_into_counting
+
+    out = str(tmp_path / "cli.bct")
+    argv = sys.argv
+    try:
+        sys.argv = ["load-into-counting.py", "-k", "20", "-x", "1e5",
+                    "-N", "4", "--tpu-layout", "blocked", out,
+                    "/root/reference/tests/test-data/100-reads.fq.gz"]
+        load_into_counting.main()
+    finally:
+        sys.argv = argv
+    from khmer_tpu.core.blocked import BlockedCountgraph
+    g = BlockedCountgraph.load(out)
+    assert g.ksize() == 20
+    assert g.n_occupied() > 3000
