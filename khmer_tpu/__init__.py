@@ -11,12 +11,33 @@ Outputs are bit/record-compatible with khmer's OXLI v4 binary formats and
 its reference CLI scripts.
 """
 
+import os as _os
+
 import jax
 
 # The whole engine is built on native 64-bit hashes (HashIntoType=uint64 in
 # the reference, include/oxli/oxli.hh:115). TPU + CPU backends support
 # 64-bit integer ops under x64 mode.
 jax.config.update("jax_enable_x64", True)
+
+# Honor JAX_PLATFORMS=cpu even when a site plugin froze platform
+# selection at interpreter startup (the tunneled-TPU environment does):
+# without this, stray numpy->device transfers route to the remote
+# accelerator and each one costs seconds.
+if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu" \
+        and (jax.config.jax_platforms or "") != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
+    except Exception:
+        pass
+if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+    try:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
 
 __version__ = "0.1.0"
 
