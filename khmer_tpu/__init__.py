@@ -33,11 +33,6 @@ if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu" \
         _xb._clear_backends()
     except Exception:
         pass
-if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
-    try:
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
-    except Exception:
-        pass
 
 __version__ = "0.1.0"
 
@@ -80,29 +75,11 @@ from khmer_tpu.ops.hashing import (  # noqa: E402
 from khmer_tpu.io.fastx import ReadParser  # noqa: E402
 
 
-def _pin_default_device():
-    """Keep host arrays off the tunneled TPU when running CPU-only.
-
-    The axon PJRT plugin routes numpy->jax transfers to the TPU even when
-    JAX_PLATFORMS=cpu; pinning the default device avoids pathological
-    (~minutes) constant fetches. Only applies when the CPU platform is
-    explicitly selected — and without initializing backends otherwise,
-    so callers can still reconfigure device counts (see
-    parallel.virtual_devices).
-    """
-    import os
-
-    try:
-        plats = (jax.config.jax_platforms
-                 or os.environ.get("JAX_PLATFORMS", ""))
-        if plats.split(",")[0] == "cpu":
-            jax.config.update("jax_default_device",
-                              jax.devices("cpu")[0])
-    except Exception:
-        pass
-
-
-_pin_default_device()
+# NOTE: no eager device-pinning here — the jax_platforms override
+# above already removes any non-CPU client when CPU is requested, and
+# touching jax.devices() at import would FREEZE the CPU device count
+# before tests / dry runs can request a virtual multi-device world
+# (see parallel.virtual_devices).
 
 # Memory-per-bucket ratios per graph type (reference: khmer/__init__.py:86-92)
 _buckets_per_byte = {

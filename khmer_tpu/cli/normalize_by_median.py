@@ -205,7 +205,6 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
         from khmer_tpu.core.diginorm import BatchedNormalizer
 
         norm = BatchedNormalizer(countgraph, args.cutoff, window=512)
-        norm.finalize = lambda: None
     diag = WithDiagnostics(report_fp, args.report_frequency)
 
     files = []

@@ -75,19 +75,19 @@ def _select_lanes(rows_q, offq):
     return jnp.transpose(jnp.sum(jnp.where(sel, rows_q, 0), axis=2))
 
 
-def blocked_update_core(nblocks, tables, n_unique, overflow, hashes,
-                        valid, with_event_new):
-    """Batch update, sequential-order exact. Mirrors v2_update_core."""
-    M = hashes.shape[0]
-    NB = int(nblocks)
+def blocked_local_update(span, table, uh, ucnt, ufirst, local_block,
+                         mine, overflow):
+    """The blocked batch update against a [span, LANES] table slice.
+
+    `local_block`/`mine` select which (already hash-deduped) events
+    this table slice owns — the whole table on one device, or a
+    block-range shard under shard_map. Returns (new_table,
+    credit [SUB, M] bool, overflow); sequential-order exact via the
+    same winner-by-order resolution as the exact layout.
+    """
+    M = uh.shape[0]
     res = SUB * M if M <= 4096 else max(M // 4, 4096)
-    table = tables[0]
-
-    d = K._run_stats(hashes, valid)
-    head, uh, ucnt, ufirst = d["head"], d["uh"], d["ucnt"], d["ufirst"]
-
-    block = (uh % np.uint64(NB)).astype(jnp.int32)
-    safe_block = jnp.where(head, block, jnp.int32(NB))
+    safe_block = jnp.where(mine, local_block, jnp.int32(span))
     offq = _offsets(uh)                                    # [SUB, M]
 
     # one-hot increment rows: [M, SUB, QUART] -> [M, LANES]
@@ -96,7 +96,7 @@ def blocked_update_core(nblocks, tables, n_unique, overflow, hashes,
     rows = jnp.where(onehot, ucnt[:, None, None], 0).reshape(M, LANES)
 
     # ONE row-scatter covers all four sub-counters
-    delta = jnp.zeros((NB, LANES), jnp.int32).at[safe_block].add(
+    delta = jnp.zeros((span, LANES), jnp.int32).at[safe_block].add(
         rows, mode="drop")
     old = table.astype(jnp.int32)
     delta_c = jnp.minimum(delta, K.MAX_KCOUNT)
@@ -110,17 +110,35 @@ def blocked_update_core(nblocks, tables, n_unique, overflow, hashes,
     old_te = gv >> 8
     delta_te = gv & 0xFF
 
+    # a clamped batch total is ambiguous: saturated bins go through the
+    # exact resolution path (all their uniques are flagged)
     alone = (delta_te == ucnt[None, :]) & (delta_te < K.MAX_KCOUNT)
-    credit = alone & (old_te == 0) & head[None, :]
-    collided = head[None, :] & ~alone
+    credit = alone & (old_te == 0) & mine[None, :]
+    collided = mine[None, :] & ~alone
+    id_bound = (span + 1) * LANES
     counter_id = jnp.where(
-        head[None, :],
-        block[None, :] * LANES
+        mine[None, :],
+        safe_block[None, :] * LANES
         + jnp.arange(SUB, dtype=jnp.int32)[:, None] * QUART + offq,
-        jnp.int32(NB * LANES))
+        jnp.int32(id_bound))
     credit, overflow = K._resolve_collisions(
-        collided, counter_id, NB * LANES, ufirst, old_te, credit,
+        collided, counter_id, id_bound, ufirst, old_te, credit,
         overflow, res)
+    return new_table, credit, overflow
+
+
+def blocked_update_core(nblocks, tables, n_unique, overflow, hashes,
+                        valid, with_event_new):
+    """Batch update, sequential-order exact. Mirrors v2_update_core."""
+    M = hashes.shape[0]
+    NB = int(nblocks)
+
+    d = K._run_stats(hashes, valid)
+    head, uh, ucnt, ufirst = d["head"], d["uh"], d["ucnt"], d["ufirst"]
+    block = (uh % np.uint64(NB)).astype(jnp.int32)
+
+    new_table, credit, overflow = blocked_local_update(
+        NB, tables[0], uh, ucnt, ufirst, block, head, overflow)
 
     new_u = jnp.any(credit, axis=0)
     n_unique = n_unique + jnp.sum(

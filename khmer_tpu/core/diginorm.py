@@ -167,6 +167,10 @@ class BatchedNormalizer:
         self.window = window
         self.k = countgraph.ksize()
 
+    def finalize(self):
+        """No-op: this engine commits straight to the countgraph
+        (interface parity with ScanNormalizer)."""
+
     def process_window(self, bundles):
         """bundles: list of lists of records (1 or 2 reads each).
 

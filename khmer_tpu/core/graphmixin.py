@@ -246,12 +246,15 @@ class HashgraphMixin:
         from khmer_tpu.core import pipeline
 
         k = self._ksize
+        chunk = pipeline.consume_chunk_size(self.storage_kind,
+                                            self._primes)
         step = pipeline.make_flat_consume(
             self.storage_kind, self._primes, k, self.hash_family,
             with_event_new=True,
             with_bigcount=(self._use_bigcount
-                           and self.storage_kind == "byte"))
-        packer = pipeline.FlatPacker(k, track_segments=True)
+                           and self.storage_kind == "byte"),
+            chunk=chunk)
+        packer = pipeline.FlatPacker(k, track_segments=True, chunk=chunk)
         total_reads = 0
         n_consumed_tags = 0  # new k-mers, counted on host for exactness
         n_consumed = jnp.zeros((), jnp.uint64)

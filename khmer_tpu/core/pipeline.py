@@ -216,6 +216,23 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
     return step
 
 
+def consume_chunk_size(kind, primes):
+    """Stream chunk size for a sketch.
+
+    The blocked layout has no image/sort fallback, so its chunk is
+    sized to keep in-batch counter sharing within the exact collision-
+    resolution budget: batches of <= counters/16 windows (or <= 4096,
+    where the budget covers every possible collision).
+    """
+    if kind != "blocked":
+        return FLAT_CHUNK
+    counters = int(primes[0]) * 32  # per sub-table
+    chunk = 4096
+    while chunk * 2 <= min(counters // 16, FLAT_CHUNK):
+        chunk *= 2
+    return chunk
+
+
 def _bucket_len(n):
     for b in _L_LADDER:
         if n <= b:
@@ -365,6 +382,7 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
     band_interval = None
     if num_bands:
         band_interval = H.compute_band_interval(num_bands, band)
+    chunk = consume_chunk_size(sketch.storage_kind, sketch._primes)
     step = make_flat_consume(
         sketch.storage_kind, sketch._primes, k, sketch.hash_family,
         with_bigcount=(sketch._use_bigcount
@@ -372,9 +390,10 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
         band=band_interval,
         mask_kind=None if mask is None else mask.storage_kind,
         mask_primes=None if mask is None else mask._primes,
-        threshold=int(threshold), consume_masked=bool(consume_masked))
+        threshold=int(threshold), consume_masked=bool(consume_masked),
+        chunk=chunk)
 
-    packer = FlatPacker(k)
+    packer = FlatPacker(k, chunk=chunk)
     n_reads = 0
     tables = sketch.tables
     n_unique = sketch._n_unique

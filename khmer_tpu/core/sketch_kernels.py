@@ -372,9 +372,10 @@ def check_v2_overflow(overflow):
     """
     if bool(overflow):
         raise RuntimeError(
-            "k-mer batch exceeded the fast-path collision budget; "
-            "re-run with KHMER_TPU_NO_V2=1 to use the fallback "
-            "consume path")
+            "k-mer batch exceeded the fast-path collision budget — the "
+            "sketch is far too small for this stream. Increase the "
+            "table size; for khmer-layout sketches KHMER_TPU_NO_V2=1 "
+            "selects the always-safe fallback consume path")
 
 
 def use_v2_path(kind, primes, m):

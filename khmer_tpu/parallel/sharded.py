@@ -269,43 +269,12 @@ def make_sharded_blocked_consume(nblocks, shard, k, chunk, mesh):
             d = K._run_stats(hashes, valid)
             head, uh, ucnt, ufirst = (d["head"], d["uh"], d["ucnt"],
                                       d["ufirst"])
-            M = uh.shape[0]
-            res = max(M // 4, 4096)
             block = (uh % np.uint64(NB)).astype(jnp.int32)
             lo = (d_idx * shard).astype(jnp.int32)
             mine = head & (block >= lo) & (block < lo + shard)
-            safe = jnp.where(mine, block - lo, jnp.int32(shard))
-            offq = B._offsets(uh)
-            lane = jax.lax.broadcasted_iota(
-                jnp.int32, (M, B.SUB, B.QUART), 2)
-            onehot = lane == jnp.transpose(offq)[:, :, None]
-            rows = jnp.where(onehot, ucnt[:, None, None],
-                             0).reshape(M, B.LANES)
-            delta = jnp.zeros((shard, B.LANES), jnp.int32).at[safe].add(
-                rows, mode="drop")
-            old = table.astype(jnp.int32)
-            delta_c = jnp.minimum(delta, K.MAX_KCOUNT)
-            packed = ((old << 8) | delta_c).astype(jnp.uint16)
-            new_table = jnp.minimum(old + delta_c,
-                                    K.MAX_KCOUNT).astype(jnp.uint8)
-            g = packed.at[safe].get(mode="fill", fill_value=0).astype(
-                jnp.int32)
-            gv = B._select_lanes(g.reshape(M, B.SUB, B.QUART), offq)
-            old_te = gv >> 8
-            delta_te = gv & 0xFF
-            alone = (delta_te == ucnt[None, :]) \
-                & (delta_te < K.MAX_KCOUNT)
-            credit = alone & (old_te == 0) & mine[None, :]
-            collided = mine[None, :] & ~alone
-            counter_id = jnp.where(
-                mine[None, :],
-                safe[None, :] * B.LANES
-                + jnp.arange(B.SUB, dtype=jnp.int32)[:, None] * B.QUART
-                + offq,
-                jnp.int32((shard + 1) * B.LANES))
-            credit, overflow = K._resolve_collisions(
-                collided, counter_id, (shard + 1) * B.LANES, ufirst,
-                old_te, credit, overflow, res)
+            new_table, credit, overflow = B.blocked_local_update(
+                shard, table, uh, ucnt, ufirst, block - lo, mine,
+                overflow)
             # every event is owned by exactly one device: scalar join
             n_unique = n_unique + jax.lax.psum(
                 jnp.sum(jnp.any(credit, axis=0).astype(jnp.uint32)),

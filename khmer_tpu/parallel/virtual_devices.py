@@ -4,32 +4,39 @@ Some environments (the axon TPU tunnel) register their PJRT plugin at
 interpreter startup and pin jax_platforms, which makes the usual
 JAX_PLATFORMS / --xla_force_host_platform_device_count environment
 knobs ineffective. This helper restores a clean N-device CPU world via
-the config API + a backend reset.
+the config API.
+
+CRITICAL ordering constraint: jax_num_cpu_devices is silently ignored
+once any backend has been initialized — even after an
+xla_bridge._clear_backends() — so the device count must be set before
+the first jax.devices() call in the process.
 """
 
 
 def force_cpu_devices(n: int) -> int:
-    """Ensure jax sees n CPU devices as the only platform.
+    """Ensure jax sees >= n CPU devices as the only platform.
 
-    Returns the resulting device count. Safe to call repeatedly.
+    Must run before jax backends initialize (it raises otherwise,
+    unless the initialized world already satisfies the request).
+    Returns the resulting device count.
     """
-    import os
-
     import jax
     from jax._src import xla_bridge as xb
 
-    plats = (jax.config.jax_platforms
-             or os.environ.get("JAX_PLATFORMS", ""))
-    if plats.split(",")[0] == "cpu":
-        # don't touch anything if the CPU world is already big enough
-        try:
-            if len(jax.devices()) >= n:
-                return len(jax.devices())
-        except Exception:
-            pass
+    if getattr(xb, "_backends", None):
+        # backends are live: the CPU client is frozen, so we can only
+        # succeed if the existing world already fits
+        devs = jax.devices()
+        if devs[0].platform == "cpu" and len(devs) >= n:
+            return len(devs)
+        raise RuntimeError(
+            "cannot resize the CPU device count after jax backends "
+            "initialized (have %d %s device(s), need %d cpu); call "
+            "force_cpu_devices earlier in the process"
+            % (len(devs), devs[0].platform, n))
+
     jax.config.update("jax_platforms", "cpu")
     try:
-        # must reset before jax_num_cpu_devices may be changed
         xb._clear_backends()
     except Exception:
         pass

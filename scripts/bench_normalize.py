@@ -42,12 +42,12 @@ def main():
 
     # warmup / compile on the first window shape
     t0 = time.time()
-    norm.process_window(bundles[:2048])
+    out = norm.process_window(bundles[:2048])
+    kept = sum(len(x) for x in out)
     print("warmup (incl. compile): %.1fs" % (time.time() - t0),
           file=sys.stderr)
 
     t0 = time.time()
-    kept = 2048
     for s in range(2048, len(bundles), 2048):
         out = norm.process_window(bundles[s:s + 2048])
         kept += sum(len(x) for x in out)
