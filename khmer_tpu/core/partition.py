@@ -686,32 +686,31 @@ class SubsetPartition:
 
     def output_partitioned_file(self, infilename, outputfile,
                                 output_unassigned=False):
-        """Annotate reads with partition IDs (subset.cc:115-208)."""
+        """Annotate reads with partition IDs (subset.cc:115-208).
+
+        Reads are hashed in device batches; the first-mapped-tag scan
+        per read is a vectorized membership test against the sorted
+        tag set (one device call + numpy per batch, not per read).
+        """
+        import jax.numpy as jnp
+
         from khmer_tpu.core import pipeline
+        from khmer_tpu.ops import hashing as H
 
         n_singletons = 0
         partitions = set()
         outfile = open(outputfile, "w")
         k = self.graph.ksize()
+        tags_sorted = np.fromiter(self.partition_map.keys(), np.uint64,
+                                  len(self.partition_map))
+        tags_sorted.sort()
+        hash_fn = pipeline.make_hash_batch(k, self.graph.hash_family)
+        batcher = pipeline.Batcher(k)
+        pending = []
 
-        for read in pipeline.records_from(infilename):
+        def emit(read, partition_id):
+            nonlocal n_singletons
             seq = read.cleaned_seq
-            partition_id = 0
-            found_tag = False
-            if len(seq) >= k:
-                hashes = self.graph._hashes_for_sequence(seq)
-                for h in hashes:
-                    h = int(h)
-                    if h in self.partition_map:
-                        found_tag = True
-                        pp = self.partition_map[h]
-                        if pp is None:
-                            partition_id = 0
-                            n_singletons += 1
-                        else:
-                            partition_id = pp.pid
-                            partitions.add(partition_id)
-                        break
             if partition_id > 0 or output_unassigned:
                 if read.quality:
                     outfile.write("@%s\t%d\n%s\n+\n%s\n" % (
@@ -719,19 +718,81 @@ class SubsetPartition:
                 else:
                     outfile.write(">%s\t%d\n%s\n" % (
                         read.name, partition_id, seq))
+
+        def flush(batch):
+            nonlocal n_singletons
+            if batch is None:
+                return
+            if isinstance(batch, list):
+                for b in batch:
+                    flush(b)
+                return
+            codes, lengths = batch
+            hashes, valid = hash_fn(jnp.asarray(codes),
+                                    jnp.asarray(lengths))
+            hashes = np.asarray(hashes)
+            valid = np.asarray(valid)
+            ismap = valid & _sorted_contains(tags_sorted,
+                                             hashes.ravel()
+                                             ).reshape(hashes.shape)
+            for i, read in enumerate(pending):
+                partition_id = 0
+                hit = np.nonzero(ismap[i])[0]
+                if hit.size:
+                    pp = self.partition_map[int(hashes[i, hit[0]])]
+                    if pp is None:
+                        n_singletons += 1
+                    else:
+                        partition_id = pp.pid
+                        partitions.add(partition_id)
+                emit(read, partition_id)
+            pending.clear()
+
+        for read in pipeline.records_from(infilename):
+            seq = read.cleaned_seq
+            if len(seq) < k:
+                flush(batcher.flush())  # keep output in stream order
+                emit(read, 0)
+                continue
+            if len(seq) > pipeline.MAX_ROW_LEN:
+                flush(batcher.flush())
+                # long reads: scalar path, same first-mapped-tag rule
+                partition_id = 0
+                for h in self.graph._hashes_for_sequence(seq):
+                    if int(h) in self.partition_map:
+                        pp = self.partition_map[int(h)]
+                        if pp is None:
+                            n_singletons += 1
+                        else:
+                            partition_id = pp.pid
+                            partitions.add(partition_id)
+                        break
+                emit(read, partition_id)
+                continue
+            pending.append(read)
+            flush(batcher.add(seq))
+        flush(batcher.flush())
         outfile.close()
         return len(partitions) + n_singletons
 
 
 def consume_partitioned_fasta(graph, filename):
     """Load a partition-annotated FASTA; tag each read's first k-mer and
-    record its partition (reference hashgraph.cc:368-418)."""
+    record its partition (reference hashgraph.cc:368-418).
+
+    Counting goes through the batched stream pipeline (one fused device
+    dispatch per chunk); the tag/partition bookkeeping is host-only.
+    """
     from khmer_tpu.core import pipeline
 
     subset = SubsetPartition(graph)
     total_reads = 0
-    n_consumed = 0
-    for record in pipeline.records_from(filename):
+    if isinstance(filename, str):
+        records, second_pass = pipeline.records_from(filename), filename
+    else:
+        records = list(pipeline.records_from(filename))
+        second_pass = records
+    for record in records:
         seq = record.cleaned_seq
         name = record.name
         # partition id from '\tN' or ' N' name suffix
@@ -745,9 +806,8 @@ def consume_partitioned_fasta(graph, filename):
         total_reads += 1
         if len(seq) < graph.ksize():
             continue
-        n_consumed += graph.consume(seq)
-        first = seq[: graph.ksize()]
-        tag = graph.hash(first)
+        tag = graph.hash(seq[: graph.ksize()])
         graph.all_tags.add(tag)
         subset.set_partition_id(tag, pid)
+    _, n_consumed = pipeline.consume_seqfile(graph, second_pass)
     return total_reads, n_consumed, subset
