@@ -3,15 +3,20 @@
 
 Replicates BASELINE.json config 1 — the load-into-counting hot path
 (Countgraph build, k=20) over data/25k.fq.gz — via the flat-stream
-pipeline (single fused jit shape), reporting k-mers counted per second
-on-device, excluding host parse and compile warmup.
+pipeline (single fused jit shape) on the production TPU-native layout
+(`load-into-counting.py --tpu-layout blocked`, core/blocked.py),
+reporting k-mers counted per second on-device, excluding host parse
+and compile warmup. Equal memory to the reference config (4 x 5e7
+byte counters).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 vs_baseline is measured against khmer's C++ single-thread counting rate
 (~3.0e6 k-mers/s for Countgraph consume on comparable hardware; the
-reference publishes no numbers in-repo, see BASELINE.md).
+reference publishes no numbers in-repo, see BASELINE.md). Run with
+KHMER_TPU_BENCH_LAYOUT=exact to bench the byte-exact reference layout
+instead.
 """
 
 import json
@@ -40,11 +45,12 @@ def main():
     import numpy as np
 
     from khmer_tpu.core import pipeline
-    from khmer_tpu.core.sketch import Countgraph
     from khmer_tpu.io.fastx import FastxParser
 
+    layout = os.environ.get("KHMER_TPU_BENCH_LAYOUT", "blocked")
+
     dev = jax.devices()[0]
-    print("device: %s" % dev, file=sys.stderr)
+    print("device: %s  layout: %s" % (dev, layout), file=sys.stderr)
 
     # -- host: parse + pack all flat chunks up front ---------------------
     t0 = time.time()
@@ -60,7 +66,14 @@ def main():
         chunks.append(tail)
     parse_s = time.time() - t0
 
-    graph = Countgraph(K, 5e7, 4)
+    if layout == "blocked":
+        from khmer_tpu.core.blocked import BlockedCountgraph
+
+        graph = BlockedCountgraph(K, 5e7, 4)
+    else:
+        from khmer_tpu.core.sketch import Countgraph
+
+        graph = Countgraph(K, 5e7, 4)
     step = pipeline.make_flat_consume(graph.storage_kind, graph._primes,
                                       K, graph.hash_family)
 
@@ -113,6 +126,7 @@ def main():
         "value": round(rate, 1),
         "unit": "k-mers/s",
         "vs_baseline": round(rate / KHMER_CPU_BASELINE, 3),
+        "layout": layout,
     }))
 
 

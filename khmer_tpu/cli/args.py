@@ -234,12 +234,11 @@ def check_conflicting_args(args, hashtype):
 
         if hashtype in ('countgraph', 'smallcountgraph'):
             infoset = extract_countgraph_info(args.loadgraph)
-            (table_size, n_tables, ksize, _, _, _, ht_type) = infoset
-            args.ksize = ksize
-            args.n_tables = n_tables
-            args.max_tablesize = table_size
+            args.ksize = infoset.ksize
+            args.n_tables = infoset.n_tables
+            args.max_tablesize = infoset.table_size
             from khmer_tpu.core.oxli_io import SAVED_SMALLCOUNT
-            if ht_type == SAVED_SMALLCOUNT:
+            if infoset.ht_type == SAVED_SMALLCOUNT:
                 args.small_count = True
 
 

@@ -75,78 +75,81 @@ def _select_lanes(rows_q, offq):
     return jnp.transpose(jnp.sum(jnp.where(sel, rows_q, 0), axis=2))
 
 
-def blocked_local_update(span, table, uh, ucnt, ufirst, local_block,
-                         mine, overflow):
-    """The blocked batch update against a [span, LANES] table slice.
+IDX_FILL = 1 << 22  # scatter-min sentinel; events per batch must stay below
 
-    `local_block`/`mine` select which (already hash-deduped) events
-    this table slice owns — the whole table on one device, or a
-    block-range shard under shard_map. Returns (new_table,
-    credit [SUB, M] bool, overflow); sequential-order exact via the
-    same winner-by-order resolution as the exact layout.
+
+def blocked_local_update(span, table, hashes, block, idx, mine):
+    """Sort-free batch update of a [span, LANES] table slice.
+
+    `block`/`mine` select which events this table slice owns — the
+    whole table on one device, or a block-range shard under shard_map.
+    `idx` is the event's position in the sequential stream order.
+
+    Exactly reproduces sequential ByteStorage::add semantics
+    (storage.hh:571-624, as defined for this layout) WITHOUT the
+    sort/dedup pass:
+      * counts: saturating +1 increments commute, so one row
+        scatter-add of per-event one-hot rows followed by a clamp
+        equals the sequential result;
+      * new-k-mer credit: an event is new iff some of its lanes was
+        zero when it was processed, i.e. iff it is the minimum-`idx`
+        toucher of a lane whose pre-batch value is zero — ONE row
+        scatter-min of event indices decides every lane's winner, and
+        duplicates of a hash can never out-rank its first occurrence.
+
+    Returns (new_table, new_flags [M] bool). ~3 row ops per batch; no
+    collision-resolution budget, no overflow flag.
     """
-    M = uh.shape[0]
-    res = SUB * M if M <= 4096 else max(M // 4, 4096)
-    safe_block = jnp.where(mine, local_block, jnp.int32(span))
-    offq = _offsets(uh)                                    # [SUB, M]
+    M = hashes.shape[0]
+    if M >= IDX_FILL:
+        raise ValueError("blocked batch too large: %d events (max %d)"
+                         % (M, IDX_FILL - 1))
+    safe_block = jnp.where(mine, block, jnp.int32(span))
+    offq = _offsets(hashes)                                # [SUB, M]
 
-    # one-hot increment rows: [M, SUB, QUART] -> [M, LANES]
     lane = jax.lax.broadcasted_iota(jnp.int32, (M, SUB, QUART), 2)
-    onehot = lane == jnp.transpose(offq)[:, :, None]
-    rows = jnp.where(onehot, ucnt[:, None, None], 0).reshape(M, LANES)
+    onehot = lane == jnp.transpose(offq)[:, :, None]       # [M, SUB, QUART]
 
-    # ONE row-scatter covers all four sub-counters
+    # row scatter-add: per-lane batch totals
+    one_rows = jnp.where(onehot, 1, 0).reshape(M, LANES)
     delta = jnp.zeros((span, LANES), jnp.int32).at[safe_block].add(
-        rows, mode="drop")
+        one_rows, mode="drop")
+
+    # row scatter-min: per-lane first-toucher event index
+    idx_rows = jnp.where(onehot, idx[:, None, None],
+                         jnp.int32(IDX_FILL)).reshape(M, LANES)
+    winner = jnp.full((span, LANES), jnp.int32(IDX_FILL)).at[
+        safe_block].min(idx_rows, mode="drop")
+
     old = table.astype(jnp.int32)
-    delta_c = jnp.minimum(delta, K.MAX_KCOUNT)
-    packed = ((old << 8) | delta_c).astype(jnp.uint16)
-    new_table = jnp.minimum(old + delta_c, K.MAX_KCOUNT).astype(jnp.uint8)
+    new_table = jnp.minimum(old + delta, K.MAX_KCOUNT).astype(jnp.uint8)
 
-    # ONE row-gather returns (old | batch-delta) for all lanes
-    g = packed.at[safe_block].get(mode="fill", fill_value=0).astype(
-        jnp.int32)
+    # ONE row-gather returns (lane winner | pre-batch-zero flag)
+    packed = (winner << 1) | (old == 0)
+    g = packed.at[safe_block].get(mode="fill", fill_value=0)
     gv = _select_lanes(g.reshape(M, SUB, QUART), offq)     # [SUB, M]
-    old_te = gv >> 8
-    delta_te = gv & 0xFF
-
-    # a clamped batch total is ambiguous: saturated bins go through the
-    # exact resolution path (all their uniques are flagged)
-    alone = (delta_te == ucnt[None, :]) & (delta_te < K.MAX_KCOUNT)
-    credit = alone & (old_te == 0) & mine[None, :]
-    collided = mine[None, :] & ~alone
-    id_bound = (span + 1) * LANES
-    counter_id = jnp.where(
-        mine[None, :],
-        safe_block[None, :] * LANES
-        + jnp.arange(SUB, dtype=jnp.int32)[:, None] * QUART + offq,
-        jnp.int32(id_bound))
-    credit, overflow = K._resolve_collisions(
-        collided, counter_id, id_bound, ufirst, old_te, credit,
-        overflow, res)
-    return new_table, credit, overflow
+    fresh_won = (gv & 1).astype(bool) & ((gv >> 1) == idx[None, :])
+    new_flags = mine & jnp.any(fresh_won, axis=0)
+    return new_table, new_flags
 
 
 def blocked_update_core(nblocks, tables, n_unique, overflow, hashes,
                         valid, with_event_new):
-    """Batch update, sequential-order exact. Mirrors v2_update_core."""
-    M = hashes.shape[0]
+    """Batch update, sequential-order exact, sort-free.
+
+    `overflow` is threaded through unchanged for pipeline API
+    compatibility (the sort-free path has no overflow condition).
+    """
     NB = int(nblocks)
-
-    d = K._run_stats(hashes, valid)
-    head, uh, ucnt, ufirst = d["head"], d["uh"], d["ucnt"], d["ufirst"]
-    block = (uh % np.uint64(NB)).astype(jnp.int32)
-
-    new_table, credit, overflow = blocked_local_update(
-        NB, tables[0], uh, ucnt, ufirst, block, head, overflow)
-
-    new_u = jnp.any(credit, axis=0)
+    block = (hashes % np.uint64(NB)).astype(jnp.int32)
+    idx = jnp.arange(hashes.shape[0], dtype=jnp.int32)
+    new_table, new_flags = blocked_local_update(
+        NB, tables[0], hashes, block, idx, valid)
     n_unique = n_unique + jnp.sum(
-        jnp.where(new_u, 1, 0)).astype(jnp.uint64)
+        jnp.where(new_flags, 1, 0)).astype(jnp.uint64)
     out = {}
     if with_event_new:
-        out["event_new"] = jnp.zeros(M, bool).at[
-            jnp.where(new_u, ufirst, jnp.int32(M))].set(True, mode="drop")
+        out["event_new"] = new_flags
     return (new_table,), n_unique, overflow, out
 
 

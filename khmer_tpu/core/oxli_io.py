@@ -22,6 +22,7 @@ Gzip variants are transparent (sniffed on read, chosen by filename on
 write when the name ends in .gz).
 """
 
+import collections
 import gzip
 import struct
 
@@ -256,46 +257,53 @@ def load_stoptags(path, expect_ksize=None):
 
 
 def extract_nodegraph_info(path):
-    """(tablesize, n_tables, ksize, occupied, version, type)."""
-    with _open_read(path) as f:
-        sig = f.read(4)
+    """(ksize, round(table_size, -2), n_tables, version, ht_type,
+    occupied) — return contract mirrors the reference
+    khmer/__init__.py:95-131 exactly (including the rounding)."""
+    try:
+        with open(path, "rb") as f:
+            sig = f.read(4)
+            version = f.read(1)[0]
+            ht_type = f.read(1)[0]
+            ksize, n_tables = struct.unpack("<IB", f.read(5))
+            (occupied,) = struct.unpack("<Q", f.read(8))
+            (tablesize,) = struct.unpack("<Q", f.read(8))
         if sig != SAVED_SIGNATURE:
             raise ValueError("Node graph '{}' is missing file type "
                              "signature".format(path) + str(sig))
-        version = f.read(1)[0]
-        if version != SAVED_FORMAT_VERSION:
-            raise ValueError("Node graph '{}' is an incorrect file "
-                             "format version".format(path))
-        ht_type = f.read(1)[0]
-        if ht_type != SAVED_HASHBITS:
-            raise ValueError("Node graph '{}' is incorrect file type"
-                             .format(path))
-        ksize, n_tables = struct.unpack("<IB", f.read(5))
-        (occupied,) = struct.unpack("<Q", f.read(8))
-        (tablesize,) = struct.unpack("<Q", f.read(8))
-    return tablesize, n_tables, ksize, occupied, version, ht_type
+    except ValueError:
+        raise
+    except Exception:
+        raise ValueError("Node graph '{}' is corrupt ".format(path))
+    return ksize, round(tablesize, -2), n_tables, version, ht_type, occupied
+
+
+CgInfo = collections.namedtuple(
+    "CgInfo", ["ksize", "n_tables", "table_size", "use_bigcount",
+               "version", "ht_type", "n_occupied"])
 
 
 def extract_countgraph_info(path):
-    """(tablesize, n_tables, ksize, occupied, use_bigcount, ver, type)."""
-    with _open_read(path) as f:
-        sig = f.read(4)
+    """CgInfo namedtuple; mirrors the reference
+    khmer/__init__.py:134-178 (field order AND table_size rounding)."""
+    try:
+        with open(path, "rb") as f:
+            sig = f.read(4)
+            version = f.read(1)[0]
+            ht_type = f.read(1)[0]
+            if ht_type != SAVED_SMALLCOUNT:
+                use_bigcount = f.read(1)[0]
+            else:
+                use_bigcount = None
+            ksize, n_tables = struct.unpack("<IB", f.read(5))
+            (occupied,) = struct.unpack("<Q", f.read(8))
+            (tablesize,) = struct.unpack("<Q", f.read(8))
         if sig != SAVED_SIGNATURE:
             raise ValueError("Count graph file '{}' is missing file type "
                              "signature. ".format(path) + str(sig))
-        version = f.read(1)[0]
-        if version != SAVED_FORMAT_VERSION:
-            raise ValueError("Count graph file '{}' is an incorrect file "
-                             "format version.".format(path))
-        ht_type = f.read(1)[0]
-        if ht_type not in (SAVED_COUNTING_HT, SAVED_SMALLCOUNT):
-            raise ValueError("Count graph file '{}' is incorrect file type"
-                             .format(path))
-        use_bigcount = 0
-        if ht_type == SAVED_COUNTING_HT:
-            use_bigcount = f.read(1)[0]
-        ksize, n_tables = struct.unpack("<IB", f.read(5))
-        (occupied,) = struct.unpack("<Q", f.read(8))
-        (tablesize,) = struct.unpack("<Q", f.read(8))
-    return (tablesize, n_tables, ksize, occupied, use_bigcount, version,
-            ht_type)
+    except ValueError:
+        raise
+    except Exception:
+        raise ValueError("Count graph file '{}' is corrupt ".format(path))
+    return CgInfo(ksize, n_tables, round(tablesize, -2), use_bigcount,
+                  version, ht_type, occupied)

@@ -219,18 +219,11 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
 def consume_chunk_size(kind, primes):
     """Stream chunk size for a sketch.
 
-    The blocked layout has no image/sort fallback, so its chunk is
-    sized to keep in-batch counter sharing within the exact collision-
-    resolution budget: batches of <= counters/16 windows (or <= 4096,
-    where the budget covers every possible collision).
+    The sort-free blocked path (core/blocked.py) is exact at any batch
+    size below its scatter-min sentinel, so every layout streams at
+    the full flat-chunk size.
     """
-    if kind != "blocked":
-        return FLAT_CHUNK
-    counters = int(primes[0]) * 32  # per sub-table
-    chunk = 4096
-    while chunk * 2 <= min(counters // 16, FLAT_CHUNK):
-        chunk *= 2
-    return chunk
+    return FLAT_CHUNK
 
 
 def _bucket_len(n):

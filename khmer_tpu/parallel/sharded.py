@@ -266,21 +266,16 @@ def make_sharded_blocked_consume(nblocks, shard, k, chunk, mesh):
             valid = (rid[:W] == rid[k - 1:]) & \
                 (jnp.arange(W, dtype=jnp.int32) + (k - 1) < nfill)
 
-            d = K._run_stats(hashes, valid)
-            head, uh, ucnt, ufirst = (d["head"], d["uh"], d["ucnt"],
-                                      d["ufirst"])
-            block = (uh % np.uint64(NB)).astype(jnp.int32)
+            block = (hashes % np.uint64(NB)).astype(jnp.int32)
             lo = (d_idx * shard).astype(jnp.int32)
-            mine = head & (block >= lo) & (block < lo + shard)
-            new_table, credit, overflow = B.blocked_local_update(
-                shard, table, uh, ucnt, ufirst, block - lo, mine,
-                overflow)
+            mine = valid & (block >= lo) & (block < lo + shard)
+            idx = jnp.arange(W, dtype=jnp.int32)
+            new_table, new_flags = B.blocked_local_update(
+                shard, table, hashes, block - lo, idx, mine)
             # every event is owned by exactly one device: scalar join
             n_unique = n_unique + jax.lax.psum(
-                jnp.sum(jnp.any(credit, axis=0).astype(jnp.uint32)),
+                jnp.sum(new_flags.astype(jnp.uint32)),
                 AXIS).astype(jnp.uint64)
-            overflow = jax.lax.psum(
-                overflow.astype(jnp.int32), AXIS) > 0
             n_cons = jnp.sum(valid).astype(jnp.uint64)
             return (new_table,), n_unique, overflow, n_cons
 

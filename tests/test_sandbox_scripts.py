@@ -9,6 +9,7 @@ modules with patched argv.
 
 import importlib.util
 import os
+import re
 import sys
 from io import StringIO
 
@@ -314,3 +315,36 @@ def test_sweep_reads_by_group_golden(tmp_path):
             assert int(c) in (9, 10)
     assert os.path.exists(str(tmp_path / "test.dist.txt"))
     assert not os.path.exists(str(tmp_path / "test_multi.fa"))
+
+
+def test_collect_reads_saturates(tmp_path):
+    # deep coverage of a 1kb genome: -C 5 must stop before all reads
+    reads = reference_file("simple-genome-reads.fa")
+    ct = str(tmp_path / "out.ct")
+    outfile = str(tmp_path / "collected.fa")
+    out, err = run_sandbox(
+        "collect-reads.py",
+        ["-k", 20, "-x", 1e6, "-C", 5, "-o", outfile, ct, reads],
+        tmp_path)
+    assert "reached target average coverage:" in out
+    assert os.path.exists(ct)
+    n_in = sum(1 for line in open(reads) if line.startswith(">"))
+    n_out = sum(1 for line in open(outfile) if line.startswith(">"))
+    assert 0 < n_out < n_in
+    m = re.search(r"Collected (\d+) reads", out)
+    assert m and 0 < int(m.group(1)) <= n_in
+
+
+def test_collect_reads_takes_everything_below_target(tmp_path):
+    # shallow data vs high -C: every read is collected
+    reads = reference_file("random-20-a.fa")
+    ct = str(tmp_path / "all.ct")
+    outfile = str(tmp_path / "all.fa")
+    out, err = run_sandbox(
+        "collect-reads.py",
+        ["-k", 20, "-x", 1e6, "-C", 50, "-o", outfile, ct, reads],
+        tmp_path)
+    n_in = sum(1 for line in open(reads) if line.startswith(">"))
+    n_out = sum(1 for line in open(outfile) if line.startswith(">"))
+    assert n_out == n_in
+    assert "Collected %d reads" % n_in in out
