@@ -52,51 +52,52 @@ def get_parser():
     return parser
 
 
+def _load_graph_with_tags(graphbase, stoptags_file):
+    """Load the nodegraph plus its tagset (and optional stoptags)."""
+    print('loading nodegraph %s.pt' % graphbase, file=sys.stderr)
+    nodegraph = load_nodegraph(graphbase)
+    if stoptags_file:
+        print('loading stoptags from', stoptags_file, file=sys.stderr)
+        nodegraph.load_stop_tags(stoptags_file)
+    print('loading tagset %s.tagset...' % graphbase, file=sys.stderr)
+    nodegraph.load_tagset(graphbase + '.tagset')
+    return nodegraph
+
+
+def _first_tag_range(nodegraph, subset_size):
+    """The first tag-range work unit of the partition decomposition
+    (whole graph when the tagset fits one subset)."""
+    divvy = list(nodegraph.divide_tags_into_subsets(subset_size))
+    return (0, 0) if len(divvy) < 2 else (divvy[0], divvy[1])
+
+
+def find_initial_stoptags(nodegraph, counting, subset_size):
+    """Partition the first tag range, then repartition its largest
+    partition with an excursion countgraph to flag highly-connected
+    k-mers as stoptags (reference scripts/make-initial-stoptags.py)."""
+    start, end = _first_tag_range(nodegraph, subset_size)
+    print('doing pre-partitioning from', start, 'to', end,
+          file=sys.stderr)
+    subset = nodegraph.do_subset_partition(start, end)
+    print('repartitioning to find HCKs.', file=sys.stderr)
+    nodegraph.repartition_largest_partition(
+        counting, EXCURSION_DISTANCE, EXCURSION_KMER_THRESHOLD,
+        EXCURSION_KMER_COUNT_THRESHOLD, subs=subset)
+
+
 def main():
     args = sanitize_help(get_parser()).parse_args()
-
     graphbase = args.graphbase
 
     infiles = [graphbase, graphbase + '.tagset']
     if args.stoptags:
         infiles.append(args.stoptags)
-    for _ in infiles:
-        check_input_files(_, args.force)
+    for name in infiles:
+        check_input_files(name, args.force)
 
-    print('loading nodegraph %s.pt' % graphbase, file=sys.stderr)
-    nodegraph = load_nodegraph(graphbase)
-
-    if args.stoptags:
-        print('loading stoptags from', args.stoptags, file=sys.stderr)
-        nodegraph.load_stop_tags(args.stoptags)
-
-    print('loading tagset %s.tagset...' % graphbase, file=sys.stderr)
-    nodegraph.load_tagset(graphbase + '.tagset')
-
+    nodegraph = _load_graph_with_tags(graphbase, args.stoptags)
     counting = khmer_args.create_countgraph(args)
-
-    # divide up into SUBSET_SIZE fragments
-    divvy = nodegraph.divide_tags_into_subsets(args.subset_size)
-    divvy = list(divvy)
-
-    # pick off the first one
-    if len(divvy) == 1:
-        start, end = 0, 0
-    else:
-        start, end = divvy[:2]
-
-    # partition!
-    print('doing pre-partitioning from', start, 'to', end,
-          file=sys.stderr)
-    subset = nodegraph.do_subset_partition(start, end)
-
-    # now, repartition...
-    print('repartitioning to find HCKs.', file=sys.stderr)
-    nodegraph.repartition_largest_partition(counting,
-                                            EXCURSION_DISTANCE,
-                                            EXCURSION_KMER_THRESHOLD,
-                                            EXCURSION_KMER_COUNT_THRESHOLD,
-                                            subs=subset)
+    find_initial_stoptags(nodegraph, counting, args.subset_size)
 
     print('saving stop tags', file=sys.stderr)
     nodegraph.save_stop_tags(graphbase + '.stoptags')

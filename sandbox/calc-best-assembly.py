@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Pick the assembly FASTA with the most bp in contigs above a size
-cutoff; print the winner's filename (and optionally copy it to -o).
+"""Pick the assembly FASTA with the most bp in contigs above a cutoff.
 
-Sandbox-tier equivalent of reference sandbox/calc-best-assembly.py:36-92.
+Scores every candidate assembly by total bases in contigs of at least
+-C bp, reports each score to stderr, prints the winning filename to
+stdout, and optionally copies the winner to -o. Behavioral contract of
+reference sandbox/calc-best-assembly.py:36-92.
 
 % python sandbox/calc-best-assembly.py [-C cutoff] [-o out.fa] <fa1> <fa2>...
 """
@@ -15,57 +17,53 @@ from _sandbox import iter_records
 DEFAULT_SIZE_CUTOFF = 500
 
 
-def calculate_bp_above_cutoff(filename, cutoff):
-    total = 0
-    for record in iter_records(filename):
-        if len(record.sequence) >= cutoff:
-            total += len(record.sequence)
-    return total
+def assembly_score(filename, cutoff):
+    """Total bp across contigs >= cutoff; None if unreadable."""
+    try:
+        return sum(len(r.sequence) for r in iter_records(filename)
+                   if len(r.sequence) >= cutoff)
+    except IOError:
+        return None
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument('-C', '--cutoff', type=int, dest='cutoff',
-                        default=DEFAULT_SIZE_CUTOFF)
-    parser.add_argument('-o', '--output-file', dest='output_file',
-                        type=argparse.FileType('w'))
-    parser.add_argument('-q', '--quiet', dest='quiet',
-                        type=bool)
-    parser.add_argument('assembly_files', nargs='+')
-
-    args = parser.parse_args()
-
-    stats = []
-    for filename in args.assembly_files:
-        try:
-            total = calculate_bp_above_cutoff(filename, args.cutoff)
-        except IOError:
+def rank_assemblies(filenames, cutoff, quiet=False):
+    """[(score, filename)] best-first, skipping unreadable inputs."""
+    scored = []
+    for filename in filenames:
+        score = assembly_score(filename, cutoff)
+        if score is None:
             print("** WARNING: %s does not exist, skipping" % filename,
                   file=sys.stderr)
             continue
-
-        stats.append((total, filename))
-
-        if not args.quiet:
-            print("assembly %s has %d bp > %d" % (filename, total,
-                                                  args.cutoff),
+        if not quiet:
+            print("assembly %s has %d bp > %d" % (filename, score, cutoff),
                   file=sys.stderr)
+        scored.append((score, filename))
+    return sorted(scored, reverse=True)
 
-    stats.sort(reverse=True)
 
-    best_total, winner_file = stats[0]
+def main():
+    parser = argparse.ArgumentParser(
+        description="pick the best assembly by bp above a size cutoff")
+    parser.add_argument('-C', '--cutoff', type=int,
+                        default=DEFAULT_SIZE_CUTOFF)
+    parser.add_argument('-o', '--output-file', dest='output_file',
+                        type=argparse.FileType('w'))
+    parser.add_argument('-q', '--quiet', type=bool)
+    parser.add_argument('assembly_files', nargs='+')
+    args = parser.parse_args()
+
+    ranking = rank_assemblies(args.assembly_files, args.cutoff, args.quiet)
+    best_total, winner = ranking[0]
     print('----', file=sys.stderr)
-    print("assembly %s wins: %d total bp > %d" % (winner_file,
-                                                  best_total,
-                                                  args.cutoff),
-          file=sys.stderr)
+    print("assembly %s wins: %d total bp > %d"
+          % (winner, best_total, args.cutoff), file=sys.stderr)
 
     if args.output_file:
-        for record in iter_records(winner_file):
-            print('>%s\n%s' % (record.name, record.sequence),
-                  file=args.output_file)
-
-    print(winner_file)
+        for record in iter_records(winner):
+            args.output_file.write('>%s\n%s\n'
+                                   % (record.name, record.sequence))
+    print(winner)
 
 
 if __name__ == '__main__':

@@ -1,43 +1,50 @@
 #!/usr/bin/env python
-"""Renumber the partition annotations in one or more partitioned FASTA
-files into a single consecutive ID space (starting at 2), writing
-gzipped groupNNN.fa.gz files.
+"""Renumber partition annotations into one consecutive ID space.
 
-Sandbox-tier equivalent of reference sandbox/renumber-partitions.py:42-66.
+Reads one or more partition-annotated FASTA files (read names end in
+"\\t<pid>"), assigns fresh consecutive partition ids starting at 2
+across all inputs, and writes each input back out as gzipped
+groupNNN.fa.gz. Behavioral contract of reference
+sandbox/renumber-partitions.py:42-66.
 
 % python sandbox/renumber-partitions.py <file1.part> [<file2.part> ...]
 """
 
 import gzip
+import itertools
 import os.path
 import sys
 
 from _sandbox import iter_records
 
+PROGRESS_EVERY = 10000
 
-def main():
-    next_partition = 2
-    filenum = 0
-    for filename in sys.argv[1:]:
-        filenum += 1
-        outfp = gzip.open('group%03d.fa.gz' % filenum, 'wt')
 
-        old_to_new = {}
-        for n, record in enumerate(iter_records(filename)):
-            if n > 0 and n % 10000 == 0:
-                print('...', os.path.basename(filename), n)
-            partition = record.name.split()[-1]
-            name = record.name.split()[0]
+def renumber_stream(records, fresh_ids, mapping, logname):
+    """Yield '>name\\tnewpid\\nseq\\n' chunks, renumbering via `mapping`
+    (shared across calls) and drawing unseen ids from `fresh_ids`."""
+    for n, record in enumerate(records):
+        if n and n % PROGRESS_EVERY == 0:
+            print('...', logname, n)
+        fields = record.name.split()
+        pid = mapping.setdefault(fields[-1], None)
+        if pid is None:
+            pid = mapping[fields[-1]] = next(fresh_ids)
+        yield '>%s\t%d\n%s\n' % (fields[0], pid, record.sequence)
 
-            new_part = old_to_new.get(partition)
-            if new_part is None:
-                new_part = next_partition
-                next_partition += 1
-                old_to_new[partition] = new_part
 
-            outfp.write('>%s\t%d\n%s\n' % (name, new_part, record.sequence))
-        outfp.close()
-        print('renumbered %d partitions in %s' % (len(old_to_new), filename))
+def main(argv=None):
+    inputs = (argv if argv is not None else sys.argv[1:])
+    fresh_ids = itertools.count(2)
+    for filenum, filename in enumerate(inputs, start=1):
+        mapping = {}
+        outname = 'group%03d.fa.gz' % filenum
+        with gzip.open(outname, 'wt') as outfp:
+            for chunk in renumber_stream(iter_records(filename), fresh_ids,
+                                         mapping,
+                                         os.path.basename(filename)):
+                outfp.write(chunk)
+        print('renumbered %d partitions in %s' % (len(mapping), filename))
 
 
 if __name__ == '__main__':

@@ -1,10 +1,15 @@
 #!/usr/bin/env python
-"""
-Count saturation curve for reads with a coverage of 1, but collect
-reads whether or not they have high coverage.  This is better for
-assessing saturation of (esp) low-coverage data sets.
+"""Measure a saturation curve: how many incoming reads still look novel.
 
-Sandbox-tier equivalent of reference sandbox/saturate-by-median.py:38-283.
+Every read (or read pair) is consumed into the countgraph; a read
+counts as "kept" when its median k-mer count is still below -C
+(default 1, i.e. it brought unseen k-mers). The kept-vs-total curve
+written to -R is the saturation measurement. Behavioral contract of
+reference sandbox/saturate-by-median.py:38-283, rebuilt on this
+framework's batched engines: medians come from device-batched
+`counts_for_records` per window (measured against the window-start
+tables; counts only grow, so "kept" is an upper bound within one
+window) and consumption goes through the flat-stream pipeline.
 """
 
 import argparse
@@ -14,91 +19,121 @@ import textwrap
 from _sandbox import iter_records
 
 import khmer_tpu
-from khmer_tpu import Countgraph, load_countgraph  # noqa: F401
+from khmer_tpu import load_countgraph
 from khmer_tpu.cli.args import (add_loadgraph_args, build_counting_args,
                                 create_countgraph, info, report_on_config,
                                 sanitize_help)
+from khmer_tpu.core.pipeline import counts_for_records
 from khmer_tpu.utils.kfile import (check_space, check_space_for_graph,
                                    check_valid_file_exists)
 
 DEFAULT_DESIRED_COVERAGE = 1
+WINDOW_BUNDLES = 500
 
 
-def batchwise(coll, size):
-    iter_coll = iter(coll)
-    return zip(*[iter_coll] * size)
-
-
-def validpair(read0, read1):
-    return read0.name[-1] == "1" and \
-        read1.name[-1] == "2" and \
-        read0.name[0:-1] == read1.name[0:-1]
-
-
-def normalize_by_median(input_filename, htable, args, report_fp=None,
-                        report_frequency=100000):
-    desired_coverage = args.cutoff
-    ksize = htable.ksize()
-
-    # In paired mode we read two records at a time
-    batch_size = 2 if args.paired else 1
-
-    total = 0
-    discarded = 0
-    for index, batch in enumerate(batchwise(iter_records(input_filename),
-                                            batch_size)):
-        if index > 0 and index % report_frequency == 0:
-            print('... kept {kept} of {total} or {perc:2}%'.format(
-                kept=total - discarded, total=total,
-                perc=int(100. - discarded / float(total) * 100.)))
-            print('... in file', input_filename)
-
-            if report_fp:
-                print(total, total - discarded,
-                      1. - (discarded / float(total)), file=report_fp)
-                report_fp.flush()
-
-        total += batch_size
-
-        if args.paired and not validpair(batch[0], batch[1]):
+def _interleaved_bundles(records, paired):
+    """Yield read bundles: pairs when --paired (validated), else
+    singletons."""
+    if not paired:
+        for record in records:
+            yield (record,)
+        return
+    it = iter(records)
+    for left in it:
+        right = next(it, None)
+        if right is None:
+            return
+        ok = (left.name[-1] == "1" and right.name[-1] == "2"
+              and left.name[:-1] == right.name[:-1])
+        if not ok:
             raise IOError('Error: Improperly interleaved pairs \
-                {b0} {b1}'.format(b0=batch[0].name, b1=batch[1].name))
-
-        # Emit the batch of reads if any read passes the filter
-        # and all reads are longer than K
-        passed_filter = False
-        passed_length = True
-        for record in batch:
-            if len(record.sequence) < ksize:
-                passed_length = False
-                continue
-
-            seq = record.sequence.replace('N', 'A')
-            med, _, _ = htable.get_median_count(seq)
-
-            if med < desired_coverage:
-                passed_filter = True
-            htable.consume(seq)  # consume sequence, either way!
-
-        if not (passed_length and passed_filter):
-            discarded += batch_size
-
-    return total, discarded
+                {b0} {b1}'.format(b0=left.name, b1=right.name))
+        yield (left, right)
 
 
-def handle_error(error, input_name):
-    print('** ERROR:', error, file=sys.stderr)
-    print('** Failed on {name}: '.format(name=input_name), file=sys.stderr)
+def _bundle_windows(records, paired, size):
+    window = []
+    for bundle in _interleaved_bundles(records, paired):
+        window.append(bundle)
+        if len(window) >= size:
+            yield window
+            window = []
+    if window:
+        yield window
+
+
+class SaturationMonitor:
+    """Windowed saturation scan over one stream.
+
+    For each window: batched medians against the window-start tables
+    decide kept/discarded per bundle, then the whole window is
+    consumed. Tracks the running curve and emits report lines.
+    """
+
+    def __init__(self, htable, cutoff, report_fp=None,
+                 report_frequency=100000):
+        self.htable = htable
+        self.cutoff = cutoff
+        self.report_fp = report_fp
+        self.report_frequency = report_frequency
+        self.total = 0
+        self.discarded = 0
+        self._next_report = report_frequency
+
+    def _median_by_read(self, reads):
+        meds = {}
+        for rec, counts in counts_for_records(self.htable, reads):
+            meds[id(rec)] = (int(sorted(counts)[len(counts) // 2])
+                             if counts.size else None)
+        return meds
+
+    def scan_file(self, input_filename, paired):
+        k = self.htable.ksize()
+        file_total = 0
+        file_discarded = 0
+        for window in _bundle_windows(iter_records(input_filename), paired,
+                                      WINDOW_BUNDLES):
+            flat = [r for b in window for r in b]
+            meds = self._median_by_read(flat)
+            for bundle in window:
+                file_total += len(bundle)
+                fresh = any(meds[id(r)] is not None
+                            and meds[id(r)] < self.cutoff for r in bundle)
+                whole = all(len(r.sequence) >= k for r in bundle)
+                if not (fresh and whole):
+                    file_discarded += len(bundle)
+                self._maybe_report(input_filename, file_total,
+                                   file_discarded)
+            keep = [r for r in flat if len(r.cleaned_seq) >= k]
+            if keep:
+                self.htable.consume_seqfile(iter(keep))
+        self.total += file_total
+        self.discarded += file_discarded
+        return file_total, file_discarded
+
+    def _maybe_report(self, filename, total, discarded):
+        if total < self._next_report:
+            return
+        self._next_report += self.report_frequency
+        kept = total - discarded
+        print('... kept {kept} of {total} or {perc:2}%'.format(
+            kept=kept, total=total,
+            perc=int(100. - discarded / float(total) * 100.)))
+        print('... in file', filename)
+        if self.report_fp:
+            print(total, kept, 1. - (discarded / float(total)),
+                  file=self.report_fp)
+            self.report_fp.flush()
 
 
 def get_parser():
     epilog = """
-    Count saturation curve for reads with a coverage of 1; kept-read
-    counts are written to the -R report as the curve. See
-    normalize-by-median.py for the flag semantics.
+    Writes the saturation curve (total, kept, kept-fraction) to the -R
+    report file as the stream is consumed. Flag semantics follow
+    normalize-by-median.py.
     """
     parser = build_counting_args(
-        descr="Do digital normalization (remove mostly redundant sequences)",
+        descr="Measure read saturation against a streaming countgraph",
         epilog=textwrap.dedent(epilog))
     parser.add_argument('-C', '--cutoff', type=int,
                         default=DEFAULT_DESIRED_COVERAGE)
@@ -107,7 +142,8 @@ def get_parser():
     parser.add_argument('-R', '--report',
                         metavar='filename', type=argparse.FileType('w'))
     parser.add_argument('--report-frequency',
-                        metavar='report_frequency', default=100000, type=int)
+                        metavar='report_frequency', default=100000,
+                        type=int)
     parser.add_argument('-f', '--fault-tolerant', dest='force',
                         help='continue on next file if read errors are \
                          encountered', action='store_true')
@@ -123,22 +159,13 @@ def get_parser():
 
 def main():
     info('saturate-by-median.py', ['diginorm'])
-    parser = sanitize_help(get_parser())
-    args = parser.parse_args()
-
+    args = sanitize_help(get_parser()).parse_args()
     report_on_config(args)
-
-    report_fp = args.report
-    report_frequency = args.report_frequency
 
     check_valid_file_exists(args.input_filenames)
     check_space(args.input_filenames, False)
     if args.savegraph:
         check_space_for_graph(args.savegraph, 'countgraph', False)
-
-    # list to save error files along with throwing exceptions
-    if args.force:
-        corrupt_files = []
 
     if args.loadgraph:
         print('loading k-mer countgraph from', args.loadgraph)
@@ -147,44 +174,37 @@ def main():
         print('making countgraph')
         htable = create_countgraph(args)
 
-    total = 0
-    discarded = 0
-
-    input_filename = None
-    for index, input_filename in enumerate(args.input_filenames):
-        total_acc = 0
-        discarded_acc = 0
-
+    monitor = SaturationMonitor(htable, args.cutoff, args.report,
+                                args.report_frequency)
+    corrupt_files = []
+    last_file = None
+    for last_file in args.input_filenames:
         try:
-            total_acc, discarded_acc = normalize_by_median(input_filename,
-                                                           htable, args,
-                                                           report_fp,
-                                                           report_frequency)
+            file_total, file_discarded = monitor.scan_file(last_file,
+                                                           args.paired)
         except IOError as err:
-            handle_error(err, input_filename)
+            print('** ERROR:', err, file=sys.stderr)
+            print('** Failed on {name}: '.format(name=last_file),
+                  file=sys.stderr)
             if not args.force:
                 print("NOTE: This can be overridden using the --force"
                       " argument", file=sys.stderr)
                 print('** Exiting!', file=sys.stderr)
                 sys.exit(1)
-            else:
-                print('*** Skipping error file, moving on...',
-                      file=sys.stderr)
-                corrupt_files.append(input_filename)
+            print('*** Skipping error file, moving on...', file=sys.stderr)
+            corrupt_files.append(last_file)
+            continue
+        if file_total == 0 and file_discarded == 0:
+            print('SKIPPED empty file', last_file)
         else:
-            if total_acc == 0 and discarded_acc == 0:
-                print('SKIPPED empty file', input_filename)
-            else:
-                total += total_acc
-                discarded += discarded_acc
-                print('DONE with {inp}; kept {kept} of {total} or {perc:2}%'
-                      .format(inp=input_filename,
-                              kept=total - discarded, total=total,
-                              perc=int(100. - discarded /
-                                       float(total) * 100.)))
+            kept = monitor.total - monitor.discarded
+            print('DONE with {inp}; kept {kept} of {total} or {perc:2}%'
+                  .format(inp=last_file, kept=kept, total=monitor.total,
+                          perc=int(100. - monitor.discarded /
+                                   float(monitor.total) * 100.)))
 
     if args.savegraph:
-        print('Saving k-mer countgraph through', input_filename)
+        print('Saving k-mer countgraph through', last_file)
         print('...saving to', args.savegraph)
         htable.save(args.savegraph)
 
@@ -193,7 +213,7 @@ def main():
                                                  max_false_pos=.8)
     print('fp rate estimated to be {fpr:1.3f}'.format(fpr=fp_rate))
 
-    if args.force and len(corrupt_files) > 0:
+    if args.force and corrupt_files:
         print("** WARNING: Finished with errors!", file=sys.stderr)
         print("** I/O Errors occurred in the following files:",
               file=sys.stderr)

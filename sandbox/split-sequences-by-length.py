@@ -1,50 +1,46 @@
 #!/usr/bin/env python
-"""
-Split sequences into per-length output files <base>.NNN (NNN = 1000 -
-length, so longer sequences sort first).
+"""Split sequences into per-length output files.
 
-Sandbox-tier equivalent of reference
-sandbox/split-sequences-by-length.py:45-86.
+Each distinct sequence length gets its own file named
+<base>.NNN where NNN = 1000 - length (zero-padded), so longer
+sequences sort first in a directory listing. Behavioral contract of
+reference sandbox/split-sequences-by-length.py:45-86.
 
 % python sandbox/split-sequences-by-length.py <base> <data1> [<data2> ...]
 """
 
-from _sandbox import iter_records
-
 import sys
 
+from _sandbox import iter_records
 
-class OutputByLength(object):
+PROGRESS_EVERY = 10000
 
-    def __init__(self, base):
-        self.base = base
-        self.fp_dict = {}
 
-    def save(self, name, sequence):
-        length = len(sequence)
-
-        fp_dict = self.fp_dict
-        if length not in fp_dict:
-            fp_dict[length] = open('%s.%03d' % (self.base, 1000 - length),
-                                   'w')
-
-        fp_dict[length].write('>%s\n%s\n' % (name, sequence))
+def demultiplex(records, open_for_length):
+    """Route records to per-length sinks; returns records written."""
+    n = 0
+    for record in records:
+        sink = open_for_length(len(record.sequence))
+        sink.write('>%s\n%s\n' % (record.name, record.sequence))
+        n += 1
+        if n % PROGRESS_EVERY == 0:
+            print('...', n)
+    return n
 
 
 def main():
-    base = sys.argv[1]
-    filenames = sys.argv[2:]
+    base, filenames = sys.argv[1], sys.argv[2:]
+    sinks = {}
 
-    out = OutputByLength(base)
+    def open_for_length(length):
+        if length not in sinks:
+            sinks[length] = open('%s.%03d' % (base, 1000 - length), 'w')
+        return sinks[length]
 
-    n = 0
+    total = 0
     for filename in filenames:
         print('opening')
-        for record in iter_records(filename):
-            out.save(record.name, record.sequence)
-            n += 1
-            if n % 10000 == 0:
-                print('...', n)
+        total += demultiplex(iter_records(filename), open_for_length)
 
 
 if __name__ == '__main__':
