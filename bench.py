@@ -61,9 +61,7 @@ def main():
         n_reads += 1
         if len(rec.cleaned_seq) >= K:
             chunks.extend(packer.add(rec.cleaned_seq))
-    tail = packer.flush()
-    if tail is not None:
-        chunks.append(tail)
+    chunks.extend(packer.flush_ladder())
     parse_s = time.time() - t0
 
     if layout == "blocked":
@@ -74,8 +72,9 @@ def main():
         from khmer_tpu.core.sketch import Countgraph
 
         graph = Countgraph(K, 5e7, 4)
-    step = pipeline.make_flat_consume(graph.storage_kind, graph._primes,
-                                      K, graph.hash_family)
+    steps = {size: pipeline.make_flat_consume(
+        graph.storage_kind, graph._primes, K, graph.hash_family,
+        chunk=size) for size in sorted({len(c) for c, _, _ in chunks})}
 
     # stage inputs AND initial tables on the device once — the bench
     # measures the per-chip counting rate, not the one-time tunnel
@@ -87,7 +86,8 @@ def main():
 
     def run_all(tables, n_unique, n_consumed, overflow):
         for codes, starts, nfill in dev_chunks:
-            tables, n_unique, n_consumed, overflow, _ = step(
+            tables, n_unique, n_consumed, overflow, _ = steps[
+                len(codes)](
                 tables, n_unique, n_consumed, overflow, codes, starts,
                 nfill)
         return tables, n_unique, n_consumed, overflow

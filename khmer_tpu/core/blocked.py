@@ -75,7 +75,9 @@ def _select_lanes(rows_q, offq):
     return jnp.transpose(jnp.sum(jnp.where(sel, rows_q, 0), axis=2))
 
 
-IDX_FILL = 1 << 22  # scatter-min sentinel; events per batch must stay below
+IDX_FILL = 1 << 30  # scatter-min sentinel; events per batch must stay
+                    # below (the packed (winner << 1 | zero) gather
+                    # needs winner * 2 to fit int32)
 
 
 def blocked_local_update(span, table, hashes, block, idx, mine):

@@ -99,6 +99,43 @@ class FlatPacker:
         assert b is not None
         return b
 
+    def flush_ladder(self, min_size=1 << 18):
+        """Flush the tail as ONE size-quantized chunk.
+
+        A partial final chunk padded to the full FLAT_CHUNK pays
+        scatter cost per padded window (XLA prices row ops per index,
+        SURVEY §9): a 60%-full tail wastes 40% of the kernel. But each
+        extra dispatch costs ~10 ms through the TPU tunnel, so the tail
+        must stay a SINGLE step: emit one chunk whose length is the
+        smallest multiple of ``min_size`` (power of two below it) that
+        holds the fill. Padding waste is bounded by min_size/fill and
+        the compiled-shape count by chunk/min_size + log2(min_size).
+
+        Returns a list of (codes, starts, nfill) (empty or one entry).
+        """
+        if self.track_segments:
+            raise RuntimeError("ladder flush does not track segments")
+        if self._fill == 0:
+            return []
+        fill = self._fill
+        if fill >= self.chunk:
+            return [self._flush_full()]
+        size = min_size
+        if fill <= min_size:
+            # small tail: power-of-two ladder below min_size
+            while size // 2 >= max(fill, 2 * self.k):
+                size //= 2
+        else:
+            size = ((fill + min_size - 1) // min_size) * min_size
+        starts = np.asarray(self._starts, dtype=np.int64)
+        pstarts = np.full(FLAT_MAX_READS, self.chunk, dtype=np.int32)
+        pstarts[: len(starts)] = starts
+        piece = self._codes[:size].copy()
+        self._codes = np.zeros(self.chunk, dtype=np.uint8)
+        self._starts = []
+        self._fill = 0
+        return [(piece, pstarts, fill)]
+
     def flush(self):
         """(codes[CHUNK], starts[FLAT_MAX_READS], nfill[, segments])."""
         if self._fill == 0:
@@ -376,15 +413,22 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
     if num_bands:
         band_interval = H.compute_band_interval(num_bands, band)
     chunk = consume_chunk_size(sketch.storage_kind, sketch._primes)
-    step = make_flat_consume(
-        sketch.storage_kind, sketch._primes, k, sketch.hash_family,
-        with_bigcount=(sketch._use_bigcount
-                       and sketch.storage_kind == "byte"),
-        band=band_interval,
-        mask_kind=None if mask is None else mask.storage_kind,
-        mask_primes=None if mask is None else mask._primes,
-        threshold=int(threshold), consume_masked=bool(consume_masked),
-        chunk=chunk)
+    steps = {}
+
+    def step_for(size):
+        if size not in steps:
+            steps[size] = make_flat_consume(
+                sketch.storage_kind, sketch._primes, k,
+                sketch.hash_family,
+                with_bigcount=(sketch._use_bigcount
+                               and sketch.storage_kind == "byte"),
+                band=band_interval,
+                mask_kind=None if mask is None else mask.storage_kind,
+                mask_primes=None if mask is None else mask._primes,
+                threshold=int(threshold),
+                consume_masked=bool(consume_masked),
+                chunk=size)
+        return steps[size]
 
     packer = FlatPacker(k, chunk=chunk)
     n_reads = 0
@@ -398,7 +442,8 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
         nonlocal tables, n_unique, n_consumed, overflow
         for codes, starts, nfill in chunks:
             extra = () if mask is None else (mask.tables,)
-            tables, n_unique, n_consumed, overflow, out = step(
+            tables, n_unique, n_consumed, overflow, out = step_for(
+                len(codes))(
                 tables, n_unique, n_consumed, overflow,
                 jnp.asarray(codes), jnp.asarray(starts),
                 jnp.int32(nfill), *extra)
@@ -432,9 +477,7 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
             if callback is not None and callback_every \
                     and n_reads % callback_every == 0:
                 callback(n_reads)
-    tail = packer.flush()
-    if tail is not None:
-        commit([tail])
+    commit(packer.flush_ladder())
 
     sketch.tables = tables
     sketch._n_unique = n_unique

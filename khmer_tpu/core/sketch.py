@@ -512,9 +512,12 @@ class CyclicCounttable(_Sketch):
 
 
 class QFCounttable(_MurmurMixin, _Sketch):
-    """Counting quotient filter table (reference QFStorage wrapper).
+    """Counting quotient filter table (reference QFStorage wrapper,
+    include/oxli/storage.hh:413-458).
 
-    Stored host-side (numpy CQF); counting semantics are exact-ish.
+    Backed by a real host-side rank-and-select CQF (core/qf.py): the
+    packed qfblock structure, byte-compatible SAVED_QFCOUNT files, and
+    counting keyed by ``khash % range`` exactly as the reference.
     """
 
     storage_kind = "qf"
@@ -544,16 +547,14 @@ class QFCounttable(_MurmurMixin, _Sketch):
         return self._qf.count(int(h))
 
     def get_counts_for_hashes(self, hashes):
-        return np.asarray([self._qf.count(int(h)) for h in
-                           np.asarray(hashes, dtype=np.uint64).ravel()],
-                          dtype=np.uint32)
+        return self._qf.counts_many(
+            np.asarray(hashes, dtype=np.uint64).ravel())
 
     def _commit_hashes(self, hashes, valid=None):
         hashes = np.asarray(hashes, dtype=np.uint64).ravel()
         if valid is not None:
             hashes = hashes[np.asarray(valid, bool).ravel()[:len(hashes)]]
-        for h in hashes:
-            self._qf.insert(int(h))
+        self._qf.insert_many(hashes)
         return len(hashes)
 
     def n_unique_kmers(self):

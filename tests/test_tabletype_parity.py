@@ -141,25 +141,26 @@ def test_qf_xnslots_matches_gqf(tmp_path):
     sqrt must not be truncated before the multiply (2048 -> 2500)."""
     from khmer_tpu.core.qf import QuotientFilter
 
-    assert QuotientFilter(2048)._metadata()["xnslots"] == 2500
-    assert QuotientFilter(1024)._metadata()["xnslots"] == 1344
+    assert QuotientFilter(2048).xnslots == 2500
+    assert QuotientFilter(1024).xnslots == 1344
 
 
-def test_qf_load_rejects_reference_qfblock_payload(tmp_path):
-    """A reference-written .qf shares our header but stores a raw
-    qfblock dump; load must reject it instead of misparsing counts."""
+def test_qf_load_rejects_foreign_slot_layout(tmp_path):
+    """Headers declaring a non-8-bit slot layout (other gqf compile
+    configs) must be rejected, not misparsed."""
     qf = QFCounttable(20, 1024)
     qf.count("A" * 20)
     fname = str(tmp_path / "ref.qf")
     qf.save(fname)
     with open(fname, "rb") as fp:
         data = bytearray(fp.read())
-    # simulate a qfblock payload: wrong trailing size for ndistinct
-    data.extend(b"\0" * 24)
+    # bits_per_slot metadata word (6th u64 after the 7-byte header)
+    import struct
+    struct.pack_into("<Q", data, 7 + 5 * 8, 16)
     bad = str(tmp_path / "refblock.qf")
     with open(bad, "wb") as fp:
         fp.write(bytes(data))
-    with pytest.raises(OSError, match="qfblock"):
+    with pytest.raises(OSError, match="bits_per_slot"):
         QFCounttable.load(bad)
 
 
