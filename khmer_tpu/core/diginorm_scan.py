@@ -343,10 +343,7 @@ class ScanNormalizer:
 
         # phase A (vector, one dispatch): bundles whose reads already
         # meet the coverage cutoff are rejected for good (monotone)
-        fa = make_med_ok(self._primes, self.k, self.graph.hash_family,
-                         self.C, L)
-        rejected = np.asarray(fa(self._tables, jnp.asarray(codes),
-                                 jnp.asarray(lengths)))
+        rejected = self._phase_a(codes, lengths, L)
         cand = np.nonzero(~rejected[:n])[0]
         if cand.size == 0:
             return out
@@ -354,8 +351,7 @@ class ScanNormalizer:
         # phase B: sequential scan over the keep candidates only, in
         # fixed-size chunks so exactly ONE scan shape ever compiles
         CB = 128
-        fn = make_diginorm_window(self._primes, self.k,
-                                  self.graph.hash_family, self.C, CB, L)
+        fn = self._scan_fn(CB, L)
         for s in range(0, cand.size, CB):
             sub = cand[s:s + CB]
             rows = np.zeros((2 * CB, L), dtype=np.uint8)
@@ -373,6 +369,17 @@ class ScanNormalizer:
         self._dirty = True
         return out
 
+    def _phase_a(self, codes, lengths, L):
+        fa = make_med_ok(self._primes, self.k, self.graph.hash_family,
+                         self.C, L)
+        return np.asarray(fa(self._tables, jnp.asarray(codes),
+                             jnp.asarray(lengths)))
+
+    def _scan_fn(self, CB, L):
+        return make_diginorm_window(self._primes, self.k,
+                                    self.graph.hash_family, self.C, CB,
+                                    L)
+
     def _host_window(self, bundles):
         """Stream-order exact fallback through the delta-map engine."""
         from khmer_tpu.core.diginorm import BatchedNormalizer
@@ -381,10 +388,13 @@ class ScanNormalizer:
         out = BatchedNormalizer(self.graph, self.C,
                                 window=len(bundles)).process_window(
             bundles)
+        self._reseed_from_graph()
+        return out
+
+    def _reseed_from_graph(self):
         self._tables = tuple(t.astype(jnp.uint32)
                              for t in self.graph.tables)
         self._n_unique = self.graph._n_unique
-        return out
 
     def finalize(self):
         """Write the u32 shadow back into the countgraph as exact

@@ -1,0 +1,174 @@
+"""Mesh-sharded de Bruijn graph membership for distributed partitioning.
+
+The reference's flagship scale-out feature is subset partitioning
+(src/oxli/subset.cc:501-553 do_partition, decomposed into tag ranges by
+oxli/partition.py:22 and hashgraph.cc:349 divide_tags_into_subsets).
+Its hot loop is the BFS neighbor probe: 8 Bloom membership tests per
+frontier node (src/oxli/traversal.cc:100-133).
+
+TPU-native distribution: the Nodegraph's bit tables are sharded by
+bucket range across the device mesh (the banding analog,
+src/oxli/kmer_hash.cc:261); a frontier's 8N candidate neighbors are
+broadcast over ICI, every device ANDs the bits it owns, and a psum of
+the per-device "missing" votes yields exact membership — i.e. frontier
+k-mers are routed to their bucket owners and the membership verdicts
+joined collectively, replacing the reference's shared-memory Bloom
+reads. The union-find tag bookkeeping (host-side, cheap) is unchanged,
+so partition IDs stay identical to the single-device path.
+
+``ShardedNodegraph`` wraps a local Nodegraph: probes run on the mesh,
+everything else (tags, stop tags, hashing, pmap IO) delegates to the
+wrapped graph, so the whole partitioning machinery
+(core/partition.py) works over the mesh unmodified.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from khmer_tpu.parallel.sharded import AXIS, _pad_to
+
+__all__ = ["ShardedNodegraph"]
+
+
+class ShardedNodegraph:
+    """Nodegraph facade with bucket-range-sharded membership probes.
+
+    Build the graph (consume + tag) on a local Nodegraph, then wrap:
+
+        sg = ShardedNodegraph(nodegraph, mesh)
+        subset = SubsetPartition(sg)
+        subset.do_partition(...)      # BFS probes run on the mesh
+
+    Partition IDs are identical to the local path (same traversal
+    order, same union-find); only the membership lookups distribute.
+    """
+
+    storage_kind = "bit"
+    hash_family = "twobit"
+
+    def __init__(self, graph, mesh):
+        if graph.storage_kind != "bit":
+            raise ValueError("ShardedNodegraph wraps a Nodegraph "
+                             "(bit storage), got %r"
+                             % (graph.storage_kind,))
+        self.local = graph
+        self.mesh = mesh
+        self.D = mesh.devices.size
+        self._primes = tuple(int(p) for p in graph._primes)
+        self._ksize = graph.ksize()
+        # shard each bit table by BYTE range
+        self._shard_bytes = tuple(
+            _pad_to(len(np.asarray(t)), self.D) // self.D
+            for t in graph.tables)
+        sharding = NamedSharding(mesh, P(AXIS))
+        self.tables = tuple(
+            jax.device_put(
+                jnp.concatenate([
+                    jnp.asarray(t),
+                    jnp.zeros(sb * self.D - len(np.asarray(t)),
+                              jnp.uint8)]),
+                sharding)
+            for t, sb in zip(graph.tables, self._shard_bytes))
+
+    # -- mesh probes -------------------------------------------------------
+
+    def neighbors_batch(self, f_arr, r_arr):
+        """(nf, nr, ncanon, present) with membership ANDed across the
+        mesh (each device votes on the bucket ranges it owns)."""
+        fn = _make_sharded_neighbors(
+            self._primes, self._shard_bytes, self._ksize, self.mesh,
+            int(np.asarray(f_arr).shape[0]))
+        return fn(self.tables,
+                  jnp.asarray(f_arr, dtype=jnp.uint64),
+                  jnp.asarray(r_arr, dtype=jnp.uint64))
+
+    def get_counts_for_hashes(self, hashes):
+        """Membership (0/1) for canonical hashes, mesh-joined."""
+        fn = _make_sharded_contains(
+            self._primes, self._shard_bytes, self.mesh,
+            int(np.asarray(hashes).shape[0]))
+        return np.asarray(fn(self.tables,
+                             jnp.asarray(hashes, dtype=jnp.uint64)))
+
+    def get(self, kmer):
+        h = self.local._coerce_hashes(kmer)
+        return int(self.get_counts_for_hashes(h)[0])
+
+    # -- delegation to the wrapped local graph ----------------------------
+
+    def ksize(self):
+        return self._ksize
+
+    def hashsizes(self):
+        return list(self._primes)
+
+    def __getattr__(self, name):
+        # tags, stop tags, hash helpers, pmap IO, tag density, ...
+        return getattr(self.local, name)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_contains(primes, shard_bytes, mesh, n):
+    D = mesh.devices.size
+
+    def get(tables, hashes):
+        def body(tables, hashes):
+            d_idx = jax.lax.axis_index(AXIS)
+            missing = jnp.zeros(hashes.shape, jnp.int32)
+            for t, p in enumerate(primes):
+                sb = shard_bytes[t]
+                lo = (d_idx * sb).astype(jnp.uint64)
+                bins = hashes % np.uint64(p)
+                byte_ix = bins // np.uint64(8)
+                mine = (byte_ix >= lo) & (byte_ix < lo + np.uint64(sb))
+                byte = jnp.take(tables[t],
+                                jnp.where(mine, byte_ix - lo, 0),
+                                mode="clip").astype(jnp.int32)
+                bit = jnp.int32(1) << (bins % np.uint64(8)).astype(
+                    jnp.int32)
+                absent = mine & ((byte & bit) == 0)
+                missing = missing + absent.astype(jnp.int32)
+            # membership = no owner voted absent (exactly one owner
+            # per (hash, table); psum joins the verdicts)
+            missing = jax.lax.psum(missing, AXIS)
+            return (missing == 0).astype(jnp.uint16)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(tuple(P(AXIS) for _ in primes), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(tables, hashes)
+
+    return jax.jit(get)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_neighbors(primes, shard_bytes, k, mesh, n):
+    """Batch 8-neighbor probe over sharded bit tables (mesh version of
+    graphmixin.make_neighbors_fn)."""
+    bitmask = (1 << (2 * k)) - 1
+    shift = 2 * k - 2
+    contains = _make_sharded_contains(primes, shard_bytes, mesh, n * 8)
+
+    def fn(tables, f, r):
+        f = f[:, None]
+        r = r[:, None]
+        b = jnp.arange(4, dtype=jnp.uint64)[None, :]
+        comp_b = b ^ np.uint64(1)
+        rf = ((f << np.uint64(2)) | b) & np.uint64(bitmask)
+        rr = (r >> np.uint64(2)) | (comp_b << np.uint64(shift))
+        lf = (f >> np.uint64(2)) | (b << np.uint64(shift))
+        lr = ((r << np.uint64(2)) | comp_b) & np.uint64(bitmask)
+        nf = jnp.concatenate([rf, lf], axis=1)
+        nr = jnp.concatenate([rr, lr], axis=1)
+        ncanon = jnp.minimum(nf, nr)
+        present = contains(tables, ncanon.ravel()).reshape(
+            ncanon.shape) > 0
+        return nf, nr, ncanon, present
+
+    return jax.jit(fn)

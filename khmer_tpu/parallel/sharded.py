@@ -179,18 +179,32 @@ class ShardedBlockedCountgraph:
     every event — per-event new-k-mer credit is computed entirely
     locally and devices join with a single scalar psum (the exact
     layout needs a per-event OR across devices instead).
+
+    With ``route=True`` (default) events travel to their owner device
+    over an ICI ``all_to_all`` (SURVEY §2.9: hash->owner-chip routing,
+    the banding analog), so each device sorts/scatters only ~1/D of
+    the stream — the per-device kernel work shrinks with the mesh. The
+    fixed route capacity is ``slack * local/D`` per (src, dst) pair;
+    pathological skew (one k-mer dominating a chunk, e.g. homopolymer
+    runs) can overflow it, which sets a sticky flag checked at stream
+    end (same contract as the v2 collision overflow): the consume
+    RAISES rather than undercounts, and the caller can rebuild with
+    ``route=False`` (all_gather fallback, always exact).
     """
 
     storage_kind = "blocked"
     hash_family = "twobit"
 
-    def __init__(self, ksize, starting_size, n_tables, mesh):
+    def __init__(self, ksize, starting_size, n_tables, mesh,
+                 route=True, route_slack=2.0):
         from khmer_tpu.core import blocked as B
         from khmer_tpu.core.sketch_kernels import get_n_primes_near_x
 
         self.mesh = mesh
         self.D = mesh.devices.size
         self._ksize = int(ksize)
+        self.route = bool(route) and self.D > 1
+        self.route_slack = float(route_slack)
         want = max(int(starting_size) * max(int(n_tables), 1)
                    // B.LANES, 4)
         self.nblocks = get_n_primes_near_x(1, want + 1)[0]
@@ -206,13 +220,26 @@ class ShardedBlockedCountgraph:
         return self._ksize
 
     def n_unique_kmers(self):
+        self._check_route_overflow()
         K.check_v2_overflow(self._overflow)
         return int(self._n_unique)
 
+    def _check_route_overflow(self):
+        if self.route and bool(self._overflow):
+            raise RuntimeError(
+                "all_to_all route capacity overflow (skewed k-mer "
+                "stream): rebuild with route=False or a larger "
+                "route_slack")
+
     def consume_chunk(self, codes, starts, nfill):
-        fn = make_sharded_blocked_consume(
-            self.nblocks, self._shard, self._ksize, len(codes),
-            self.mesh)
+        if self.route:
+            fn = make_sharded_blocked_consume_routed(
+                self.nblocks, self._shard, self._ksize, len(codes),
+                self.mesh, self.route_slack)
+        else:
+            fn = make_sharded_blocked_consume(
+                self.nblocks, self._shard, self._ksize, len(codes),
+                self.mesh)
         sharding = NamedSharding(self.mesh, P(AXIS))
         codes = jax.device_put(jnp.asarray(codes), sharding)
         starts = jax.device_put(jnp.asarray(starts),
@@ -230,6 +257,8 @@ class ShardedBlockedCountgraph:
     def to_local(self):
         """Gather shards into a single-device BlockedCountgraph."""
         from khmer_tpu.core.blocked import BlockedCountgraph
+
+        self._check_route_overflow()
 
         g = BlockedCountgraph(self._ksize, 1, 1,
                               primes=(self.nblocks,))
@@ -277,6 +306,102 @@ def make_sharded_blocked_consume(nblocks, shard, k, chunk, mesh):
                 jnp.sum(new_flags.astype(jnp.uint32)),
                 AXIS).astype(jnp.uint64)
             n_cons = jnp.sum(valid).astype(jnp.uint64)
+            return (new_table,), n_unique, overflow, n_cons
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=((P(AXIS, None),), P(), P(), P(AXIS), P(), P()),
+            out_specs=((P(AXIS, None),), P(), P(), P()),
+            check_vma=False,
+        )(tables, n_unique, overflow, codes, starts, nfill)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_blocked_consume_routed(nblocks, shard, k, chunk, mesh,
+                                        slack):
+    """all_to_all-routed sharded blocked consume.
+
+    Each device hashes its slice, buckets events by owner device
+    (owner = block // shard), and ships them over ICI with ONE
+    all_to_all per chunk; the update then runs on ~1/D of the stream
+    per device instead of a masked pass over the full stream
+    (SURVEY §2.9 "all-to-all route (hash->owner chip) then local
+    scatter-add"). Route capacity per (src, dst) pair is
+    ceil(local_W/D * slack); exceeding it sets the sticky overflow
+    flag (checked at stream end — raises, never undercounts).
+
+    Sequential-exact n_unique: the global stream index rides along
+    with each event, so the owner's scatter-min first-toucher credit
+    is identical to the unrouted path.
+    """
+    from khmer_tpu.core import blocked as B
+
+    D = mesh.devices.size
+    NB = int(nblocks)
+    local = chunk // D
+    W = chunk - k + 1
+    local_W = local  # device d owns windows [d*local, d*local+local)
+    C = -(-int(local_W * slack) // D)  # capacity per (src, dst) pair
+    IDX_FILL = B.IDX_FILL
+
+    def step(tables, n_unique, overflow, codes, starts, nfill):
+        def body(tables, n_unique, overflow, codes_local, starts, nfill):
+            d_idx = jax.lax.axis_index(AXIS)
+            table = tables[0]  # [shard, 128]
+            halo = jax.lax.ppermute(
+                codes_local[: k - 1], AXIS,
+                [(i, (i - 1) % D) for i in range(D)])
+            ext = jnp.concatenate([codes_local, halo])
+            _, f, r = H.rolling_hash_windows(ext[None, :], k)
+            local_h = jnp.minimum(f, r)[0][:local]
+
+            # validity of my windows: read-boundary and fill masks are
+            # global predicates; evaluate them for my index range
+            gidx = d_idx * local + jnp.arange(local, dtype=jnp.int32)
+            # rid from global starts (starts replicated, values global)
+            rid_hit = jnp.zeros(chunk, jnp.int32).at[starts].add(
+                1, mode="drop")
+            rid = jnp.cumsum(rid_hit)
+            rid_lo = rid.at[gidx].get(mode="fill", fill_value=0)
+            rid_hi = rid.at[gidx + (k - 1)].get(mode="fill",
+                                                fill_value=-1)
+            valid = (rid_lo == rid_hi) & (gidx < W) & \
+                (gidx + (k - 1) < nfill)
+
+            block = (local_h % np.uint64(NB)).astype(jnp.int32)
+            owner = jnp.where(valid, block // jnp.int32(shard),
+                              jnp.int32(D))
+            onehot = owner[:, None] == jnp.arange(D, dtype=jnp.int32)
+            rank1 = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+            rank = jnp.sum(jnp.where(onehot, rank1 - 1, 0), axis=1)
+            over = valid & (rank >= C)
+            overflow = overflow | (jax.lax.psum(
+                jnp.any(over).astype(jnp.int32), AXIS) > 0)
+            slot = jnp.where(valid & ~over, owner * C + rank,
+                             jnp.int32(D * C))
+            send_h = jnp.zeros(D * C, jnp.uint64).at[slot].set(
+                local_h, mode="drop")
+            send_i = jnp.full(D * C, jnp.int32(IDX_FILL)).at[slot].set(
+                gidx, mode="drop")
+            routed_h = jax.lax.all_to_all(
+                send_h.reshape(D, C), AXIS, 0, 0, tiled=False
+            ).reshape(D * C)
+            routed_i = jax.lax.all_to_all(
+                send_i.reshape(D, C), AXIS, 0, 0, tiled=False
+            ).reshape(D * C)
+            mine = routed_i < IDX_FILL
+            lo = (d_idx * shard).astype(jnp.int32)
+            rblock = (routed_h % np.uint64(NB)).astype(jnp.int32) - lo
+            new_table, new_flags = B.blocked_local_update(
+                shard, table, routed_h, rblock, routed_i, mine)
+            n_unique = n_unique + jax.lax.psum(
+                jnp.sum(new_flags.astype(jnp.uint32)),
+                AXIS).astype(jnp.uint64)
+            n_cons = jax.lax.psum(
+                jnp.sum(valid.astype(jnp.uint32)), AXIS
+            ).astype(jnp.uint64)
             return (new_table,), n_unique, overflow, n_cons
 
         return jax.shard_map(

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Pallas prototype: fused blocked-table RMW (counts + exact credit).
+
+One sequential pass over events; per event, load the 32-row aligned
+u8 slab containing its 128-byte block (a native (32,128) u8 tile),
+apply the 4-lane one-hot increment and zero-detect as whole-tile
+vector ops (widened to i32 — Mosaic has no i8 arith), store the slab
+back. Sequential processing makes the new-k-mer credit exact by
+construction (no scatter-min / gather).
+
+Event metadata rides in SMEM blocks (scalar reads must come from
+SMEM): bids[i] (block id, -1 = invalid) and offs[i] (4 lane offsets
+packed 8 bits each).
+
+Measures ns/event vs the XLA 3-row-op kernel and checks exactness
+against the numpy oracle.
+"""
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SLAB = 32          # u8 native sublane tile
+LANES = 128
+TILE = 1024        # events per grid step (SMEM block)
+
+
+def make_kernel(nslabs, tile):
+    def kernel(bids_ref, offs_ref, table_in_ref, out_ref, nnew_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            nnew_ref[0, 0] = 0
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 1)
+
+        def body(i, acc):
+            bid = bids_ref[i]
+            packed = offs_ref[i]
+            v = bid >= 0
+            bid = jnp.maximum(bid, 0)
+            slab = bid // SLAB
+            row = bid % SLAB
+            o0 = packed & 127
+            o1 = (packed >> 8) & 127
+            o2 = (packed >> 16) & 127
+            o3 = (packed >> 24) & 127
+            tile32 = out_ref[pl.ds(slab * SLAB, SLAB), :].astype(
+                jnp.int32)
+            hot = (row_iota == row) & (
+                (lane_iota == o0) | (lane_iota == o1)
+                | (lane_iota == o2) | (lane_iota == o3)) & v
+            fresh = jnp.any(hot & (tile32 == 0))
+            capped = hot & (tile32 < 255)
+            out_ref[pl.ds(slab * SLAB, SLAB), :] = (
+                tile32 + capped.astype(jnp.int32)).astype(jnp.uint8)
+            return acc + fresh.astype(jnp.int32)
+
+        acc = jax.lax.fori_loop(0, tile, body, jnp.int32(0))
+        nnew_ref[0, 0] += acc
+
+    def call(bids, offs, table):
+        M = bids.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(M // tile,),
+            in_specs=[
+                pl.BlockSpec((tile,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((nslabs * SLAB, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nslabs * SLAB, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nslabs * SLAB, LANES), jnp.uint8),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            input_output_aliases={2: 0},
+        )(bids, offs, table)
+
+    return jax.jit(call, donate_argnums=(2,))
+
+
+def pack_offs(offs):
+    return (offs[:, 0] | (offs[:, 1] << 8) | (offs[:, 2] << 16)
+            | (offs[:, 3] << 24)).astype(np.int32)
+
+
+def oracle(bids, offs, table):
+    t = table.copy()
+    nnew = 0
+    for i in range(len(bids)):
+        if bids[i] < 0:
+            continue
+        b = bids[i]
+        lanes = offs[i]
+        if (t[b, lanes] == 0).any():
+            nnew += 1
+        for o in lanes:
+            if t[b, o] < 255:
+                t[b, o] += 1
+    return t, nnew
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev, file=sys.stderr)
+    rng = np.random.default_rng(0)
+
+    # correctness on a small table (with forced duplicates)
+    nslabs_s = 64
+    nb_s = nslabs_s * SLAB
+    M_s = TILE * 2
+    bids_s = rng.integers(0, nb_s, M_s).astype(np.int32)
+    bids_s[100:160] = bids_s[100]
+    offs_s = np.stack([rng.integers(0, 32, M_s) + 32 * q
+                       for q in range(4)], axis=1).astype(np.int32)
+    offs_s[120:160] = offs_s[100]
+    invalid = rng.random(M_s) < 0.1
+    bids_in = np.where(invalid, -1, bids_s).astype(np.int32)
+    table_s = np.zeros((nb_s, LANES), np.uint8)
+
+    k = make_kernel(nslabs_s, TILE)
+    got_t, got_n = k(jnp.asarray(bids_in), jnp.asarray(pack_offs(offs_s)),
+                     jnp.asarray(table_s))
+    want_t, want_n = oracle(bids_in, offs_s, table_s)
+    ok_t = np.array_equal(np.asarray(got_t), want_t)
+    ok_n = int(np.asarray(got_n)[0, 0]) == want_n
+    print("correct: tables=%s nnew=%s (%d vs %d)"
+          % (ok_t, ok_n, int(np.asarray(got_n)[0, 0]), want_n),
+          file=sys.stderr)
+
+    # timing on a VMEM-sized table
+    for nslabs, M in ((1 << 14, 1 << 20),):  # 64MB table (2^19 blocks)
+        nb = nslabs * SLAB
+        bids = jnp.asarray(rng.integers(0, nb, M).astype(np.int32))
+        offs = jnp.asarray(pack_offs(np.stack(
+            [rng.integers(0, 32, M) + 32 * q for q in range(4)],
+            axis=1).astype(np.int32)))
+        table = jnp.zeros((nb, LANES), np.uint8)
+        kk = make_kernel(nslabs, TILE)
+        t0 = time.time()
+        table, nnew = kk(bids, offs, table)
+        _ = np.asarray(nnew)[0, 0]
+        compile_s = time.time() - t0
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            table, nnew = kk(bids, offs, table)
+        _ = np.asarray(nnew)[0, 0]
+        dt = (time.time() - t0) / reps
+        print("pallas RMW  nb=%d M=2^%d  %8.2f ms  %6.1f ns/event  "
+              "(compile %.1fs)"
+              % (nb, int(np.log2(M)), dt * 1e3, dt / M * 1e9,
+                 compile_s), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
