@@ -111,10 +111,20 @@ def check_space_for_graph(outfile_name, graph_size, force,
 
 
 def check_valid_file_exists(in_files):
-    """In a list of files, check that at least one exists + is non-empty."""
+    """Warn (only) about empty/missing inputs; '-' (stdin) passes.
+
+    Mirrors the reference exactly (khmer/kfile.py:185-203): this check
+    never exits — scripts that require a usable input fail later with
+    their own error, and streaming '-' inputs must reach the scripts'
+    stdin handling.
+    """
     for in_file in in_files:
-        if os.path.exists(in_file):
-            if os.stat(in_file).st_size > 0:
+        if in_file == "-":
+            pass
+        elif os.path.exists(in_file):
+            mode = os.stat(in_file).st_mode
+            if os.stat(in_file).st_size > 0 or S_ISBLK(mode) \
+                    or S_ISFIFO(mode):
                 return
             else:
                 print("WARNING: Input file %s is empty" % in_file,
@@ -122,8 +132,6 @@ def check_valid_file_exists(in_files):
         else:
             print("WARNING: Input file %s not found" % in_file,
                   file=sys.stderr)
-    print("ERROR: No valid filenames provided. Exiting.", file=sys.stderr)
-    sys.exit(1)
 
 
 def add_output_compression_type(parser):

@@ -38,12 +38,18 @@ TILE = 1024        # events per grid step (SMEM block)
 
 
 def make_kernel(nslabs, tile):
-    def kernel(bids_ref, offs_ref, table_in_ref, out_ref, nnew_ref):
+    def kernel(bids_ref, offs_ref, table_in_ref, out_ref, nnew_ref,
+               scratch, sem_in, sem_out):
         step = pl.program_id(0)
+        nsteps = pl.num_programs(0)
 
         @pl.when(step == 0)
         def _():
             nnew_ref[0, 0] = 0
+            # stage the whole table HBM -> VMEM once
+            dma = pltpu.make_async_copy(table_in_ref, scratch, sem_in)
+            dma.start()
+            dma.wait()
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 1)
@@ -59,19 +65,25 @@ def make_kernel(nslabs, tile):
             o1 = (packed >> 8) & 127
             o2 = (packed >> 16) & 127
             o3 = (packed >> 24) & 127
-            tile32 = out_ref[pl.ds(slab * SLAB, SLAB), :].astype(
+            tile32 = scratch[pl.ds(slab * SLAB, SLAB), :].astype(
                 jnp.int32)
             hot = (row_iota == row) & (
                 (lane_iota == o0) | (lane_iota == o1)
                 | (lane_iota == o2) | (lane_iota == o3)) & v
             fresh = jnp.any(hot & (tile32 == 0))
             capped = hot & (tile32 < 255)
-            out_ref[pl.ds(slab * SLAB, SLAB), :] = (
+            scratch[pl.ds(slab * SLAB, SLAB), :] = (
                 tile32 + capped.astype(jnp.int32)).astype(jnp.uint8)
             return acc + fresh.astype(jnp.int32)
 
         acc = jax.lax.fori_loop(0, tile, body, jnp.int32(0))
         nnew_ref[0, 0] += acc
+
+        @pl.when(step == nsteps - 1)
+        def _():
+            dma = pltpu.make_async_copy(scratch, out_ref, sem_out)
+            dma.start()
+            dma.wait()
 
     def call(bids, offs, table):
         M = bids.shape[0]
@@ -83,18 +95,21 @@ def make_kernel(nslabs, tile):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile,), lambda i: (i,),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((nslabs * SLAB, LANES), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((nslabs * SLAB, LANES), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((nslabs * SLAB, LANES), jnp.uint8),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nslabs * SLAB, LANES), jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
             ],
             input_output_aliases={2: 0},
         )(bids, offs, table)

@@ -1,0 +1,113 @@
+// Reference (khmer/liboxli) hot-path timings for BASELINE configs.
+// Built against the UNMODIFIED reference library to measure the C++
+// rates our TPU engine is compared with. Usage:
+//   refbench count <fastq> [nthreads]     (config 1 hot path)
+//   refbench diginorm <fa> <C>            (config 2 hot path)
+//   refbench hll <fa>                     (config 4 hot path)
+//   refbench partition <fa>               (config 5 hot path)
+#include <chrono>
+#include <cstdio>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "oxli/hashgraph.hh"
+#include "oxli/hllcounter.hh"
+#include "oxli/oxli.hh"
+#include "oxli/read_parsers.hh"
+#include "oxli/subset.hh"
+
+using namespace oxli;
+using namespace oxli::read_parsers;
+using Clock = std::chrono::steady_clock;
+
+static double secs(Clock::time_point a, Clock::time_point b) {
+    return std::chrono::duration<double>(b - a).count();
+}
+
+int main(int argc, char** argv) {
+    std::string mode = argv[1];
+    std::string path = argv[2];
+
+    if (mode == "count") {
+        int nthreads = argc > 3 ? atoi(argv[3]) : 1;
+        std::vector<uint64_t> sizes = get_n_primes_near_x(4, 50000000);
+        Countgraph cg(20, sizes);
+        auto parser = get_parser<FastxReader>(path);
+        auto t0 = Clock::now();
+        unsigned long long total_consumed = 0;
+        unsigned int total_reads = 0;
+        if (nthreads <= 1) {
+            cg.consume_seqfile<FastxReader>(parser, total_reads,
+                                            total_consumed);
+        } else {
+            std::vector<std::thread> ts;
+            for (int i = 0; i < nthreads; i++)
+                ts.emplace_back([&]() {
+                    unsigned int r = 0;
+                    unsigned long long c = 0;
+                    cg.consume_seqfile<FastxReader>(parser, r, c);
+                });
+            for (auto& t : ts) t.join();
+            // totals via n_unique proxy; re-read counts below
+        }
+        double dt = secs(t0, Clock::now());
+        printf("{\"mode\":\"count\",\"threads\":%d,\"seconds\":%.3f,"
+               "\"n_consumed\":%llu,\"n_unique\":%llu}\n",
+               nthreads, dt, total_consumed,
+               (unsigned long long)cg.n_unique_kmers());
+    } else if (mode == "diginorm") {
+        int C = argc > 3 ? atoi(argv[3]) : 20;
+        std::vector<uint64_t> sizes = get_n_primes_near_x(4, 100000000);
+        Countgraph cg(20, sizes);
+        auto parser = get_parser<FastxReader>(path);
+        auto t0 = Clock::now();
+        unsigned long kept = 0, total = 0;
+        while (!parser->is_complete()) {
+            Read read;
+            try { read = parser->get_next_read(); }
+            catch (NoMoreReadsAvailable&) { break; }
+            read.set_clean_seq();
+            total++;
+            if (read.cleaned_seq.size() < 20) continue;
+            if (!cg.median_at_least(read.cleaned_seq, C)) {
+                cg.consume_string(read.cleaned_seq);
+                kept++;
+            }
+        }
+        double dt = secs(t0, Clock::now());
+        printf("{\"mode\":\"diginorm\",\"seconds\":%.3f,\"total\":%lu,"
+               "\"kept\":%lu}\n", dt, total, kept);
+    } else if (mode == "hll") {
+        HLLCounter hll(0.01, 20);
+        auto t0 = Clock::now();
+        unsigned int reads = 0;
+        unsigned long long consumed = 0;
+        hll.consume_seqfile<FastxReader>(path, false, reads, consumed);
+        double dt = secs(t0, Clock::now());
+        printf("{\"mode\":\"hll\",\"seconds\":%.3f,\"n_consumed\":%llu,"
+               "\"estimate\":%llu}\n", dt, consumed,
+               (unsigned long long)hll.estimate_cardinality());
+    } else if (mode == "partition") {
+        std::vector<uint64_t> sizes = get_n_primes_near_x(4, 12500000);
+        Nodegraph ng(20, sizes);  // 1e8 bits / 8
+        auto parser = get_parser<FastxReader>(path);
+        unsigned int total_reads = 0;
+        unsigned long long n_consumed = 0;
+        auto t0 = Clock::now();
+        ng.consume_seqfile_and_tag<FastxReader>(parser, total_reads,
+                                                n_consumed);
+        double t_tag = secs(t0, Clock::now());
+        SubsetPartition subset(&ng);
+        t0 = Clock::now();
+        subset.do_partition(0, 0, false, true);
+        double t_part = secs(t0, Clock::now());
+        size_t n_part = 0, n_unassigned = 0;
+        subset.count_partitions(n_part, n_unassigned);
+        printf("{\"mode\":\"partition\",\"tag_seconds\":%.3f,"
+               "\"partition_seconds\":%.3f,\"n_consumed\":%llu,"
+               "\"n_partitions\":%zu}\n",
+               t_tag, t_part, n_consumed, n_part);
+    }
+    return 0;
+}
