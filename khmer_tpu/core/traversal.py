@@ -145,23 +145,36 @@ def traverse_linear_path(graph, kmer, adjacencies=None, visited=None,
     size = 0
     to_visit = [(f, r)]
     while to_visit:
-        cf, cr = to_visit.pop()
-        c = int(min(cf, cr))
-        if c in visited:
-            continue
-        if stop_filter is not None and stop_filter(c):
-            continue
+        # batch the whole pending stack into ONE device probe (the
+        # reference pops one node per loop, hashgraph.cc:843-890; the
+        # outputs are sets/counts, so processing order is immaterial
+        # and a level batch is output-identical)
+        batch = []
+        seen_here = set()
+        for cf, cr in to_visit:
+            c = int(min(cf, cr))
+            if c in visited or c in seen_here:
+                continue
+            if stop_filter is not None and stop_filter(c):
+                continue
+            seen_here.add(c)
+            batch.append((cf, cr, c))
+        to_visit = []
+        if not batch:
+            break
         nf, nr, nc, present = _probe_neighbors(
-            graph, np.array([cf], np.uint64), np.array([cr], np.uint64))
-        deg = int(present[0].sum())
-        if deg > 2:
-            degree_nodes.add(c)
-            continue
-        visited.add(c)
-        size += 1
-        for j in range(8):
-            if present[0, j]:
-                nxt = int(nc[0, j])
-                if nxt not in visited:
-                    to_visit.append((nf[0, j], nr[0, j]))
+            graph,
+            np.array([b[0] for b in batch], np.uint64),
+            np.array([b[1] for b in batch], np.uint64))
+        degs = present.sum(axis=1)
+        for i, (cf, cr, c) in enumerate(batch):
+            if degs[i] > 2:
+                degree_nodes.add(c)
+                continue
+            visited.add(c)
+            size += 1
+            for j in range(8):
+                if present[i, j]:
+                    if int(nc[i, j]) not in visited:
+                        to_visit.append((nf[i, j], nr[i, j]))
     return size, degree_nodes, visited
