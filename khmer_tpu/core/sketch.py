@@ -502,6 +502,9 @@ class CyclicCounttable(_Sketch):
 
     def hash(self, kmer):
         from khmer_tpu.ops import cyclic
+        if len(kmer) != self._ksize:
+            raise ValueError("Expected k-mer length %d but got %d."
+                             % (self._ksize, len(kmer)))
         return cyclic.hash_cyclic(kmer, self._ksize)
 
     def _hashes_for_sequence(self, seq):
@@ -509,6 +512,23 @@ class CyclicCounttable(_Sketch):
         if len(seq) < self._ksize:
             return np.zeros(0, dtype=np.uint64)
         return cyclic.hash_cyclic_windows(seq, self._ksize)
+
+    def consume_seqfile(self, path_or_parser, batcher=None):
+        """Host-path file consume: the cyclic rolling hash is computed
+        host-side (the reference wraps a third-party CyclicHash the
+        same way, kmer_hash.cc:210-258), so stream records instead of
+        the device flat pipeline."""
+        from khmer_tpu.core import pipeline
+
+        k = self._ksize
+        n_reads = 0
+        n_consumed = 0
+        for record in pipeline.records_from(path_or_parser):
+            seq = record.cleaned_seq
+            n_reads += 1
+            if len(seq) >= k:
+                n_consumed += self.consume(seq)
+        return n_reads, n_consumed
 
 
 class QFCounttable(_MurmurMixin, _Sketch):

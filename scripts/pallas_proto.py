@@ -34,14 +34,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 SLAB = 32          # u8 native sublane tile
 LANES = 128
-TILE = 1024        # events per grid step (SMEM block)
+TILE = 4096        # events per grid step (= SUBL * ECOLS)
+
+
+SUBL = 8  # event-tile sublanes; tile = SUBL * ECOLS events per grid step
+ECOLS = 512
 
 
 def make_kernel(nslabs, tile):
+    assert tile == SUBL * ECOLS
+
     def kernel(bids_ref, offs_ref, table_in_ref, out_ref, nnew_ref,
-               scratch, sem_in, sem_out):
+               scratch, sb, so, sem_in, sem_out, sem_b, sem_o):
         step = pl.program_id(0)
         nsteps = pl.num_programs(0)
+
+        # stage this step's event metadata VMEM -> SMEM (scalar reads
+        # must come from scalar memory; 1-D SMEM inputs cannot be
+        # blocked because XLA lays s32[M] out as one tile)
+        db = pltpu.make_async_copy(bids_ref, sb, sem_b)
+        do = pltpu.make_async_copy(offs_ref, so, sem_o)
+        db.start()
+        do.start()
 
         @pl.when(step == 0)
         def _():
@@ -51,12 +65,15 @@ def make_kernel(nslabs, tile):
             dma.start()
             dma.wait()
 
+        db.wait()
+        do.wait()
+
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 1)
 
         def body(i, acc):
-            bid = bids_ref[i]
-            packed = offs_ref[i]
+            bid = sb[0, i // ECOLS, i % ECOLS]
+            packed = so[0, i // ECOLS, i % ECOLS]
             v = bid >= 0
             bid = jnp.maximum(bid, 0)
             slab = bid // SLAB
@@ -87,14 +104,16 @@ def make_kernel(nslabs, tile):
 
     def call(bids, offs, table):
         M = bids.shape[0]
+        b3 = bids.reshape(M // tile, SUBL, ECOLS)
+        o3 = offs.reshape(M // tile, SUBL, ECOLS)
         return pl.pallas_call(
             kernel,
             grid=(M // tile,),
             in_specs=[
-                pl.BlockSpec((tile,), lambda i: (i,),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile,), lambda i: (i,),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, SUBL, ECOLS), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SUBL, ECOLS), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
@@ -108,11 +127,15 @@ def make_kernel(nslabs, tile):
             ],
             scratch_shapes=[
                 pltpu.VMEM((nslabs * SLAB, LANES), jnp.uint8),
+                pltpu.SMEM((1, SUBL, ECOLS), jnp.int32),
+                pltpu.SMEM((1, SUBL, ECOLS), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
             input_output_aliases={2: 0},
-        )(bids, offs, table)
+        )(b3, o3, table)
 
     return jax.jit(call, donate_argnums=(2,))
 
