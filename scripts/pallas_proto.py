@@ -135,6 +135,8 @@ def make_kernel(nslabs, tile):
                 pltpu.SemaphoreType.DMA,
             ],
             input_output_aliases={2: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
         )(b3, o3, table)
 
     return jax.jit(call, donate_argnums=(2,))

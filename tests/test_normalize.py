@@ -111,9 +111,11 @@ def test_normalize_by_median_empty_file(tmp_path):
     infile = copy_test_data('empty-file', tmp_path)
     args = ['-C', '1', '-k', '17', infile]
     status, out, err = runscript('normalize-by-median.py', args,
-                                 in_directory=str(tmp_path), fail_ok=True)
-    assert 'ERROR:' in err, err
+                                 in_directory=str(tmp_path))
+    # reference: warn-only + per-file SKIPPED, run succeeds
+    assert 'WARNING:' in err, err
     assert 'is empty' in err, err
+    assert 'SKIPPED' in err, err
 
 
 def test_normalize_by_median_savegraph(tmp_path):
