@@ -1,9 +1,19 @@
-"""Pallas TPU kernel for the blocked Count-Min update.
+"""Pallas TPU kernel for the blocked Count-Min update — EXPERIMENT.
 
-The XLA path (core/blocked.py) costs three priced-per-index row ops
-per batch — scatter-add (counts) + scatter-min (first-toucher) +
-gather (credit) ≈ 47 ns/event on TPU v5e. This kernel fuses all of it
-into ONE sequential pass:
+Status: correct but NOT the production path. Measured on TPU v5e
+(scripts/pallas_proto.py, 64MB table, 2^20 random events): 172
+ns/event vs the XLA 3-row-op path's 47 ns/event (core/blocked.py).
+Mosaic executes the per-event loop on the scalar core (~160 cycles:
+scalar metadata reads, dynamic slab address calc, u8->i32 widening to
+4 VREGs, a cross-lane any() reduction), while XLA's scatter lowers to
+the hardware-assisted row-update path at ~18 ns/row — three of those
+beat one scalar-driven fused pass. Kept as a documented negative
+result and a starting point if Mosaic grows a vector gather/scatter
+primitive.
+
+The XLA path costs three priced-per-index row ops per batch —
+scatter-add (counts) + scatter-min (first-toucher) + gather (credit).
+This kernel fuses all of it into ONE sequential pass:
 
 - the table is staged HBM -> VMEM once per call (input/output aliased,
   written back at the last grid step);
