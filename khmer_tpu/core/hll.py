@@ -94,7 +94,7 @@ class HLLCounter:
         self._init(nc, ksize)
 
     def _init(self, nc, ksize):
-        self.alpha = calc_alpha(nc)
+        self._alpha = calc_alpha(nc)
         self.ncounters_log2 = int(math.floor(math.log2(nc)))
         self.ncounters = nc
         self._ksize = int(ksize)
@@ -102,6 +102,11 @@ class HLLCounter:
         self._touched = False
 
     # -- properties mirroring the Cython wrapper --------------------------
+
+    @property
+    def alpha(self):
+        """Bias-correction constant (read-only, hllcounter.hh)."""
+        return self._alpha
 
     @property
     def counters(self):
@@ -225,7 +230,7 @@ class HLLCounter:
             if Hlin <= get_threshold(self.ncounters_log2):
                 return int(Hlin)
         s = float(np.power(2.0, -counters.astype(np.float64)).sum())
-        E = self.alpha * nc * nc / s
+        E = self._alpha * nc * nc / s
         if E <= 5 * nc:
             return int(E - estimate_bias(E, self.ncounters_log2))
         return int(E)

@@ -138,7 +138,6 @@ def make_sharded_consume(primes, shard_sizes, k, chunk, mesh):
                 (jnp.arange(W, dtype=jnp.int32) + (k - 1) < nfill)
             d = K._dedup_batch(hashes, valid)
             M = hashes.shape[0]
-            min_old = jnp.full(M, jnp.int32(K.MAX_KCOUNT))
             any_credit = jnp.zeros(M, bool)
             new_tables = []
             for t, p in enumerate(primes):
@@ -147,12 +146,11 @@ def make_sharded_consume(primes, shard_sizes, k, chunk, mesh):
                 tbl, old_u, credit_u = K._byte_table_update(
                     tables[t], p, d, lo=lo, span=S)
                 new_tables.append(tbl)
-                min_old = jnp.minimum(min_old, old_u)
                 any_credit = any_credit | credit_u
-            # cross-device join of per-event stats
+            # ONE cross-device per-event join (the OR of zero-bin
+            # credits; each (event, table) bin has a single owner)
             any_credit = jax.lax.psum(any_credit.astype(jnp.int32),
                                       AXIS) > 0
-            min_old = jax.lax.pmin(min_old, AXIS)
             new_u = d["uvalid"] & any_credit
             n_unique = n_unique + jnp.sum(
                 jnp.where(new_u, 1, 0)).astype(jnp.uint64)
