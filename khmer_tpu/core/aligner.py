@@ -173,6 +173,10 @@ class ReadAligner:
         (self.trusted_match, self.trusted_mismatch,
          self.untrusted_match, self.untrusted_mismatch) = scoring_matrix
         self.tsc = list(transitions)
+        # host-side count memo: the A* revisits k-mers constantly and a
+        # per-node device .get() costs a full dispatch round-trip; the
+        # aligner treats the graph as read-only during a search
+        self._count_cache = {}
 
     # -- neighbor hash math (2-bit next/prev, hashgraph.hh:67-71) --------
 
@@ -189,7 +193,27 @@ class ReadAligner:
         return nf, nr
 
     def _count(self, fwd, rc):
-        return self.graph.get(min(fwd, rc))
+        c = min(fwd, rc)
+        v = self._count_cache.get(c)
+        if v is None:
+            v = int(self.graph.get(c))
+            self._count_cache[c] = v
+        return v
+
+    def _counts4(self, pairs):
+        """Counts for the four candidate neighbors in ONE device call
+        (cache misses batched)."""
+        import numpy as np
+
+        canons = [min(f, r) for f, r in pairs]
+        missing = sorted({c for c in canons
+                          if c not in self._count_cache})
+        if missing:
+            vals = self.graph.get_counts_for_hashes(
+                np.asarray(missing, dtype=np.uint64))
+            for c, v in zip(missing, vals):
+                self._count_cache[c] = int(v)
+        return [self._count_cache[c] for c in canons]
 
     # -- A* search --------------------------------------------------------
 
@@ -203,13 +227,15 @@ class ReadAligner:
             next_seq_idx = curr.seq_idx - 1
             remaining = next_seq_idx
 
-        for i, nucl in enumerate(_NUCL):
-            if forward:
-                nf, nr = self._next(curr.fwd, curr.rc, nucl)
-            else:
-                nf, nr = self._prev(curr.fwd, curr.rc, nucl)
+        if forward:
+            cand = [self._next(curr.fwd, curr.rc, n) for n in _NUCL]
+        else:
+            cand = [self._prev(curr.fwd, curr.rc, n) for n in _NUCL]
+        covs = self._counts4(cand)
 
-            cov = self._count(nf, nr)
+        for i, nucl in enumerate(_NUCL):
+            nf, nr = cand[i]
+            cov = covs[i]
             if cov == 0:
                 continue
             elif cov < self.trusted_cutoff:
