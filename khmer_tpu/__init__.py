@@ -72,6 +72,9 @@ from khmer_tpu.ops.hashing import (  # noqa: E402
     reverse_complement,
     reverse_hash,
 )
+from khmer_tpu.core.sketch_kernels import (  # noqa: E402
+    get_n_primes_near_x,
+)
 from khmer_tpu.io.fastx import ReadParser  # noqa: E402
 
 
@@ -143,6 +146,7 @@ __all__ = [
     "forward_hash_no_rc",
     "hash_murmur3",
     "hash_no_rc_murmur3",
+    "get_n_primes_near_x",
     "load_countgraph",
     "load_nodegraph",
     "reverse_complement",

@@ -388,6 +388,10 @@ class HashgraphMixin:
 
     def _fr_for(self, kmer):
         if isinstance(kmer, str):
+            if len(kmer) != self._ksize:
+                raise ValueError(
+                    "Expected k-mer length %d but got %d."
+                    % (self._ksize, len(kmer)))
             _, f, r = H._hash_scalar(kmer, self._ksize)
             return f, r
         # hash given: reconstruct the sequence (reversible hash)

@@ -795,14 +795,17 @@ def consume_partitioned_fasta(graph, filename):
     for record in records:
         seq = record.cleaned_seq
         name = record.name
-        # partition id from '\tN' or ' N' name suffix
-        # (reference read_parsers.hh:210-233)
+        # partition id comes from a '\tN' name suffix and is mandatory
+        # (reference read_parsers.hh:210-233 throws without the tab)
         parts = name.rsplit("\t", 1)
-        if len(parts) == 2:
+        if len(parts) != 2:
+            raise ValueError(
+                "consume_partitioned_fasta cannot find partition ID "
+                "for read " + name)
+        try:
             pid = int(parts[1])
-        else:
-            parts = name.rsplit(" ", 1)
-            pid = int(parts[1]) if len(parts) == 2 else 0
+        except ValueError:
+            pid = 0  # atoi() semantics: non-numeric suffix parses as 0
         total_reads += 1
         if len(seq) < graph.ksize():
             continue

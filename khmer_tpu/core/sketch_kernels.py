@@ -786,8 +786,13 @@ def init_tables(kind, primes):
 
 
 def get_n_primes_near_x(n_tables: int, x: int):
-    """Descending primes just below x (reference: hashtable.hh:99-123)."""
-    if x == 1:
+    """Descending primes just below x.
+
+    Reference: hashtable.hh:99-123 / khmer/__init__.py:56-83 (which
+    accepts float x and raises RuntimeError when too few primes fit).
+    """
+    x = int(x)
+    if x == 1 and n_tables == 1:
         return [1]
 
     def is_prime(num):
@@ -814,4 +819,7 @@ def get_n_primes_near_x(n_tables: int, x: int):
         if i == 1:
             break
         i -= 2
+    if len(primes) != n_tables:
+        raise RuntimeError("unable to find %d prime numbers < %d"
+                           % (n_tables, x))
     return primes
