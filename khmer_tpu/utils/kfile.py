@@ -154,18 +154,35 @@ def get_file_writer(file_handle, do_gzip, do_bzip):
     return ofile
 
 
-def is_block(file_path):
-    if file_path == "-":
+def is_block(fthing):
+    """Whether a file handle (or path) is a block/char device or stdio.
+
+    Mirrors reference khmer/kfile.py:208-214: handles that ARE
+    stdout/stdin (or their binary buffers) count as block devices.
+    """
+    if fthing in ("-",):
         return True
+    if fthing is sys.stdout or fthing is sys.stdin:
+        return True
+    if (fthing is getattr(sys.stdout, "buffer", None)
+            or fthing is getattr(sys.stdin, "buffer", None)):
+        return True
+    name = fthing if isinstance(fthing, str) else getattr(
+        fthing, "name", None)
+    if not isinstance(name, str):
+        return False
     try:
-        mode = os.stat(file_path).st_mode
+        mode = os.stat(name).st_mode
         return S_ISBLK(mode) or S_ISFIFO(mode)
     except OSError:
         return False
-    return False
 
 
 def describe_file_handle(handle):
+    """Name of a file handle, or "block device" for stdio/devices
+    (reference khmer/kfile.py:217-222)."""
+    if is_block(handle):
+        return "block device"
     if hasattr(handle, "name"):
         return handle.name
     return str(handle)

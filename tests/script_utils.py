@@ -2,9 +2,11 @@
 (reference: tests/khmer_tst_utils.py:153-206)."""
 
 import importlib
+import io
 import os
 import shutil
 import sys
+import traceback
 from io import StringIO
 
 TEST_DATA = "/root/reference/tests/test-data"
@@ -59,6 +61,8 @@ def runscript(scriptname, args, in_directory=None, fail_ok=False):
     sys.argv = sysargs
     sys.stdout = StringIO()
     sys.stdout.name = "StringIO"
+    # scripts writing binary records to '-' use sys.stdout.buffer
+    sys.stdout.buffer = io.BytesIO()
     sys.stderr = StringIO()
     try:
         if in_directory:
@@ -68,6 +72,11 @@ def runscript(scriptname, args, in_directory=None, fail_ok=False):
             status = 0
         except SystemExit as err:
             status = err.code or 0
+        except BaseException:
+            # reference harness behavior (khmer_tst_utils.py:186-191):
+            # uncaught exceptions land as a traceback on stderr
+            traceback.print_exc(file=sys.stderr)
+            status = -1
         out = sys.stdout.getvalue()
         err = sys.stderr.getvalue()
     finally:
