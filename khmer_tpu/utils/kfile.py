@@ -75,16 +75,18 @@ def check_space(in_files, force, _testhook_free_space=None):
     total_size = sum(file_sizes)
     size_diff = total_size - free_space
     if size_diff > 0:
-        print("ERROR: Not enough free space on disk "
-              "for output files;\n"
-              "       Need at least %.1f GB more."
-              % (float(size_diff) / 1e9), file=sys.stderr)
-        print("       Estimated output size: %.1f GB"
-              % (float(total_size) / 1e9,), file=sys.stderr)
-        print("       Free space: %.1f GB"
-              % (float(free_space) / 1e9,), file=sys.stderr)
-        if not force:
-            sys.exit(1)
+        # message structure mirrors reference khmer/kfile.py:136-149
+        message = ("Not enough free space on disk for output files;"
+                   "\n       Need at least {:.1f} GB more."
+                   "\n       Estimated Output size: {:.1f} GB"
+                   "\n       Free space: {:.1f} GB").format(
+                       size_diff / 1e9, total_size / 1e9, free_space / 1e9)
+        if force:
+            print("WARNING:", message, file=sys.stderr)
+        else:
+            raise SystemExit(
+                "ERROR: " + message + "\nNOTE: This can be overridden "
+                "using the --force argument")
 
 
 def check_space_for_graph(outfile_name, graph_size, force,
@@ -98,16 +100,18 @@ def check_space_for_graph(outfile_name, graph_size, force,
         free_space = _testhook_free_space
     size_diff = graph_size - free_space
     if size_diff > 0:
-        print("ERROR: Not enough free space on disk "
-              "for saved graph files;\n"
-              "       Need at least %.1f GB more."
-              % (float(size_diff) / 1e9,), file=sys.stderr)
-        print("       Table size: %.1f GB"
-              % (float(graph_size) / 1e9,), file=sys.stderr)
-        print("       Free space: %.1f GB"
-              % (float(free_space) / 1e9,), file=sys.stderr)
-        if not force:
-            sys.exit(1)
+        # message structure mirrors reference khmer/kfile.py:169-182
+        message = ("Not enough free space on disk for saved graph files;"
+                   "\n       Need at least {:.1f} GB more."
+                   "\n       Table size: {:.1f} GB"
+                   "\n       Free space: {:.1f} GB").format(
+                       size_diff / 1e9, graph_size / 1e9, free_space / 1e9)
+        if force:
+            print("WARNING:", message, file=sys.stderr)
+        else:
+            raise SystemExit(
+                "ERROR: " + message + "\nNOTE: This can be overridden "
+                "using the --force argument")
 
 
 def check_valid_file_exists(in_files):
