@@ -17,10 +17,11 @@ timing the same hot loops (driver: tests/golden/refbench.cc):
             8T 1.033 s — atomics contention), so 1T is the best
             reference operating point here.
 
-Config 3 (trim-low-abund two-pass) runs on
-/root/reference/data/100k-surrendered.fa (the 100k dataset shipped
-in-repo); the reference rate for its pass-1 hot loop is approximated
-by the diginorm rate (same get_median_count + consume structure).
+Config 3 (trim-low-abund two-pass) runs on data/25k.fq.gz (BASELINE
+names 100k-filtered.fa, which the reference checkout does not ship;
+100k-surrendered.fa has only 21 records); the reference rate for its
+pass-1 hot loop is approximated by the diginorm rate (same
+get_median_count + consume structure).
 """
 import json
 import os
@@ -36,7 +37,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 STAMPS_READS = os.path.join(REPO, "data", "stamps-reads.fa.gz")
 STAMPS_GENOMES = os.path.join(REPO, "data", "stamps-genomes.fa")
-HUNDREDK = "/root/reference/data/100k-surrendered.fa"
+# BASELINE config 3 names 100k-filtered.fa, which is not shipped in
+# the reference checkout (100k-surrendered.fa has only 21 records);
+# the 25k read set is the largest in-repo FASTQ with real coverage.
+HUNDREDK = os.path.join(REPO, "data", "25k.fq.gz")
 
 REF = {
     "normalize_reads_per_sec": 91954.0,
