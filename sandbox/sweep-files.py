@@ -81,7 +81,9 @@ def main():
 
     traversal_range = args.traversal_range
     if traversal_range < 0:
-        traversal_range = 0  # 0 = default sweep radius
+        # the reference passes -1 into a C unsigned int (labeling.pyx
+        # <unsigned int>radius), i.e. an effectively unbounded sweep
+        traversal_range = 2**32 - 1
 
     outputs = {}
 

@@ -225,8 +225,10 @@ def main():
             seq = record.sequence
             name = record.name
             try:
+                # None -> default (2*tag_density)+1 sweep radius,
+                # matching the reference binding's radius=None path
                 labels = list(lh.sweep_label_neighborhood(
-                    seq, traversal_range or 0))
+                    seq, traversal_range))
             except ValueError:
                 continue
             if record.quality:
