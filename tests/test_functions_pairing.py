@@ -129,6 +129,22 @@ def test_estimate_optimal_with_K_and_f_hits_target():
     assert res.fp_rate <= 0.05 * 1.05
 
 
+def test_estimate_functions_exact_constants():
+    # reference tests/test_oxli_functions.py:45-69 oracles
+    res = functions.estimate_optimal_with_K_and_M(99, 1024)
+    assert (res.num_htables, res.htable_size, res.mem_use) == (7, 146, 1022)
+    assert abs(res.fp_rate - 0.008) < 0.001
+    res = functions.estimate_optimal_with_K_and_f(99, 0.00701925498897)
+    assert (res.num_htables, res.htable_size, res.mem_use) == (7, 145, 1015)
+    assert abs(res.fp_rate - 0.008) < 0.002
+    res = functions.estimate_optimal_with_K_and_M(1024, 2)
+    assert (res.num_htables, res.htable_size, res.mem_use, res.fp_rate) \
+        == (1, 2, 2, 1.0)
+    res = functions.estimate_optimal_with_K_and_f(1024, 0.7)
+    assert (res.num_htables, res.htable_size, res.mem_use) == (1, 850, 850)
+    assert abs(res.fp_rate - 0.7) < 0.0022
+
+
 # -- build_graph helper --------------------------------------------------
 
 def test_build_graph_plain_and_tagged(tmp_path):
