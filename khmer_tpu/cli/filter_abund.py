@@ -120,6 +120,31 @@ def main():
                                            min_length=ksize,
                                            force_single=True)
         records = (read1 for _, _, read1, _ in paired_iter)
+
+        from khmer_tpu.core import hostengine
+
+        if hostengine.use_host_for(countgraph, "trim") and \
+                args.cutoff <= 255 and (not args.variable_coverage
+                                        or args.normalize_to <= 255):
+            # host tier: one native call per window computes the
+            # variable-coverage gate + trim position for every read
+            window = []
+            while True:
+                window = [r for _, r in zip(range(16384), records)]
+                if not window:
+                    break
+                codes, starts, ends, _ = hostengine.pack_records(window)
+                trims = hostengine.trim_filter(
+                    countgraph, codes, starts, ends, args.cutoff,
+                    args.variable_coverage, args.normalize_to)
+                for record, ta in zip(window, trims):
+                    trimmed_record, _ = _apply_trim(ksize, record,
+                                                    max(int(ta), 0))
+                    if trimmed_record:
+                        write_record(trimmed_record, outfp)
+            log_info('output in {outfile}', outfile=outfile)
+            continue
+
         for record, counts in pipeline.counts_for_records(countgraph,
                                                           records):
             seqN = record.cleaned_seq

@@ -2,9 +2,12 @@
 """Do digital normalization (remove mostly redundant sequences).
 
 Mirrors the reference scripts/normalize-by-median.py exactly (same
-flags, same .keep outputs, same report files); the sequential
-keep/discard algorithm runs through the window-batched conflict-round
-engine in core/diginorm.py.
+flags, same .keep outputs).  The sequential keep/discard loop runs on
+the native host tier (core/hostengine.py) when built, else the
+device-scan engine (core/diginorm_scan.py).  -R report rows carry the
+same (total, kept) values as the reference — accounting is per bundle
+— but rows are emitted when a window flushes, so they can appear up to
+one window later in wall-clock time than the reference's.
 
 % normalize-by-median.py [ -C <cutoff> ] <data1> <data2> ...
 """
@@ -202,7 +205,14 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
         log_info('making countgraph')
         countgraph = khmer_args.create_countgraph(args)
 
-    if countgraph.storage_kind == "byte":
+    from khmer_tpu.core import hostengine
+
+    if (hostengine.use_host_for(countgraph, "diginorm")
+            and not countgraph._use_bigcount and args.cutoff <= 255):
+        # latency tier: the sequential keep/consume loop runs in one
+        # native pass per window (see doc/tpu.md "dual-engine runtime")
+        norm = hostengine.NativeNormalizer(countgraph, args.cutoff)
+    elif countgraph.storage_kind == "byte":
         norm = ScanNormalizer(countgraph, args.cutoff, window=WINDOW)
     else:
         from khmer_tpu.core.diginorm import BatchedNormalizer

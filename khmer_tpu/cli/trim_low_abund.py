@@ -154,6 +154,14 @@ class Trimmer:
         graph = self.graph
         k = graph.ksize()
 
+        from khmer_tpu.core import hostengine
+
+        if self._scan is None and \
+                hostengine.use_host_for(graph, "trim") and \
+                not graph._use_bigcount and self.cutoff <= 255:
+            self._scan = hostengine.NativeTrimmer(
+                graph, self.cutoff, self.trim_at_coverage,
+                self.diginorm_coverage if self.do_normalize else None)
         if graph.storage_kind == "byte":
             from khmer_tpu.core.diginorm_scan import ScanTrimmerState
 
@@ -239,6 +247,13 @@ class Trimmer:
         TRIM = self.trim_at_coverage
         CUTOFF = self.cutoff
 
+        from khmer_tpu.core import hostengine
+
+        if hostengine.use_host_for(graph, "trim") and \
+                not graph._use_bigcount and CUTOFF <= 255 and TRIM <= 255:
+            yield from self._pass2_native(reader)
+            return
+
         for window in self._windows(reader):
             seqs = [r.cleaned_seq for b in window for r in b]
             win = SeqWindow(graph, seqs)
@@ -261,6 +276,48 @@ class Trimmer:
                         trim_at = trim_pos_from_counts(
                             counts, k, CUTOFF, len(read.cleaned_seq))
                         record, did_trim = _apply_trim(k, read, trim_at)
+                        if did_trim:
+                            self.trimmed_reads += 1
+                        if record:
+                            yield record
+                else:
+                    for read in bundle:
+                        self.n_skipped += 1
+                        self.bp_skipped += 1
+                        yield read
+
+    def _pass2_native(self, reader):
+        """pass2 on the host tier: read-only medians + trim positions
+        in one native call per window (graph is complete by now)."""
+        import numpy as np
+
+        from khmer_tpu.core import hostengine
+
+        graph = self.graph
+        k = graph.ksize()
+        TRIM = self.trim_at_coverage
+        CUTOFF = self.cutoff
+
+        for window in self._windows(reader):
+            recs = [r for b in window for r in b]
+            codes, starts, ends, _ = hostengine.pack_records(recs)
+            med, _avg, _std = hostengine.median_counts(
+                graph, codes, starts, ends)
+            trims = hostengine.trim_filter(graph, codes, starts, ends,
+                                           CUTOFF)
+            si = 0
+            for bundle in window:
+                idxs = list(range(si, si + len(bundle)))
+                si += len(bundle)
+                self.n_reads += len(bundle)
+                self.n_bp += sum(len(r.sequence) for r in bundle)
+                # med < 0 marks reads shorter than k: vacuously at
+                # coverage (SeqWindow yields min_req 0 for those)
+                if self.do_trim_low_abund or \
+                        all(med[i] >= TRIM or med[i] < 0 for i in idxs):
+                    for i, read in zip(idxs, bundle):
+                        record, did_trim = _apply_trim(
+                            k, read, max(int(trims[i]), 0))
                         if did_trim:
                             self.trimmed_reads += 1
                         if record:

@@ -238,12 +238,16 @@ class HashgraphMixin:
         """Returns (total_reads, n_consumed).
 
         reference: Hashgraph::consume_seqfile_and_tag
-        (src/oxli/hashgraph.cc:279-320). Batched via the flat-stream
-        pipeline: hashes are committed to the sketch in large device
-        chunks (with exact per-event new-k-mer flags); the sequential
-        tag-spacing pass runs on host, segment by segment.
+        (src/oxli/hashgraph.cc:279-320). The tag-spacing state machine
+        is inherently sequential, so the native host engine runs the
+        whole pass (hash + exact test_and_set + spacing) in one C++
+        stream when available; the device path below is the JAX
+        reference implementation (and the fallback).
         """
-        from khmer_tpu.core import pipeline
+        from khmer_tpu.core import hostengine, pipeline
+
+        if hostengine.use_host_for(self, "graph"):
+            return hostengine.consume_seqfile_and_tag(self, source)
 
         k = self._ksize
         chunk = pipeline.consume_chunk_size(self.storage_kind,

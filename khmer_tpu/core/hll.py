@@ -98,8 +98,47 @@ class HLLCounter:
         self.ncounters_log2 = int(math.floor(math.log2(nc)))
         self.ncounters = nc
         self._ksize = int(ksize)
-        self.counters_dev = jnp.zeros(nc, dtype=jnp.uint8)
+        self._counters_dev = None   # device residency
+        self._counters_host = None  # host residency (native engine)
         self._touched = False
+
+    # -- register residency (mirrors _Sketch table residency) -------------
+
+    @property
+    def counters_dev(self):
+        if self._counters_dev is None:
+            if self._counters_host is not None:
+                self._counters_dev = jnp.asarray(self._counters_host)
+            else:
+                self._counters_dev = jnp.zeros(self.ncounters,
+                                               dtype=jnp.uint8)
+        return self._counters_dev
+
+    @counters_dev.setter
+    def counters_dev(self, value):
+        self._counters_dev = value
+        self._counters_host = None
+
+    def _registers_array(self):
+        """Writable host registers; host becomes the authority."""
+        if self._counters_host is None:
+            if self._counters_dev is not None:
+                self._counters_host = np.array(self._counters_dev)
+            else:
+                self._counters_host = np.zeros(self.ncounters,
+                                               dtype=np.uint8)
+        self._counters_dev = None
+        return self._counters_host
+
+    def _adopt_registers(self, regs):
+        self._counters_host = regs
+        self._counters_dev = None
+        self._touched = True
+
+    def _registers_view(self):
+        if self._counters_host is not None:
+            return self._counters_host
+        return np.asarray(self.counters_dev)
 
     # -- properties mirroring the Cython wrapper --------------------------
 
@@ -110,7 +149,7 @@ class HLLCounter:
 
     @property
     def counters(self):
-        return [int(c) for c in np.asarray(self.counters_dev)]
+        return [int(c) for c in self._registers_view()]
 
     @property
     def error_rate(self):
@@ -183,11 +222,24 @@ class HLLCounter:
         return n
 
     def consume_seqfile(self, source, stream_records=False):
-        """Returns (total_reads, n_consumed)."""
+        """Returns (total_reads, n_consumed).
+
+        Dispatch: the native host engine ingests the whole stream in
+        one C++ pass (reference hllcounter.cc:340-404 is likewise a
+        host loop); the flat device path below serves as fallback and
+        as the mesh-sharded building block (parallel/hll.py).
+        """
         import sys
 
-        from khmer_tpu.core import pipeline
+        from khmer_tpu.core import hostengine, pipeline
         from khmer_tpu.io.fastx import write_record
+
+        if not stream_records and hostengine.available() and \
+                hostengine.mode() != "device":
+            self._touched = True
+            regs = self._registers_array()
+            return hostengine.hll_consume(regs, self.ncounters_log2,
+                                          self._ksize, source)
 
         k = self._ksize
         packer = pipeline.FlatPacker(k)
@@ -222,7 +274,7 @@ class HLLCounter:
 
     def estimate_cardinality(self):
         """HLL++ estimate (hllcounter.cc:237-260)."""
-        counters = np.asarray(self.counters_dev)
+        counters = self._registers_view()
         V = int((counters == 0).sum())
         nc = self.ncounters
         if V > 0:

@@ -1,0 +1,594 @@
+"""Native host engine bindings + dispatch policy.
+
+The runtime has two execution tiers with bit-identical semantics:
+
+- the **device tier** (JAX/XLA kernels in sketch_kernels.py /
+  blocked.py / parallel/*) — the throughput path for bulk counting and
+  the scale-out path across a device mesh;
+- the **host tier** (src/hostgraph.cc via ctypes) — the latency path
+  for sequential state machines over small streams (tagging, diginorm,
+  partition BFS, HLL, trims), where a single device dispatch costs more
+  interconnect latency than the whole workload.
+
+This mirrors the split inside an accelerator (small ops go to the VPU,
+big matmuls to the MXU): the dispatcher here routes by workload shape,
+the result is identical either way (tests/test_hostengine.py).
+
+Env overrides: KHMER_TPU_ENGINE = auto (default) | host | device,
+KHMER_TPU_HOST_THREADS = BFS thread count.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "src")
+_LIB_PATH = os.path.join(_SRC_DIR, "libkhmer_tpu_host.so")
+
+KIND = {"bit": 0, "byte": 1, "nibble": 2}
+
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_f32p = ctypes.POINTER(ctypes.c_float)
+_llp = ctypes.POINTER(ctypes.c_longlong)
+_u8pp = ctypes.POINTER(_u8p)
+
+
+def _load():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _SRC_DIR], check=True,
+                           capture_output=True, timeout=180)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.hg_set_create.restype = ctypes.c_void_p
+    lib.hg_set_create.argtypes = [ctypes.c_longlong]
+    lib.hg_set_add.restype = None
+    lib.hg_set_add.argtypes = [ctypes.c_void_p, _u64p, ctypes.c_longlong]
+    lib.hg_set_size.restype = ctypes.c_longlong
+    lib.hg_set_size.argtypes = [ctypes.c_void_p]
+    lib.hg_set_export.restype = ctypes.c_longlong
+    lib.hg_set_export.argtypes = [ctypes.c_void_p, _u64p,
+                                  ctypes.c_longlong]
+    lib.hg_set_free.restype = None
+    lib.hg_set_free.argtypes = [ctypes.c_void_p]
+
+    lib.hg_consume_block.restype = ctypes.c_longlong
+    lib.hg_consume_block.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
+        _u8p, _i64p, _i64p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, _u64p, ctypes.c_longlong, _llp, _u64p, _u64p]
+
+    lib.hg_consume_block_murmur.restype = ctypes.c_longlong
+    lib.hg_consume_block_murmur.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
+        _u8p, _i64p, _i64p, ctypes.c_longlong,
+        ctypes.c_int, _u64p, ctypes.c_longlong, _llp, _u64p, _u64p]
+
+    lib.hg_diginorm.restype = ctypes.c_longlong
+    lib.hg_diginorm.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
+        _u8p, _i64p, _i64p, _i64p, ctypes.c_longlong, ctypes.c_int,
+        _u8p, _u64p, _u64p]
+
+    lib.hg_trim1.restype = ctypes.c_longlong
+    lib.hg_trim1.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
+        _u8p, _i64p, _i64p, _i64p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _i32p, _i32p, _u64p, _u64p]
+
+    lib.hg_trim_filter.restype = None
+    lib.hg_trim_filter.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
+        _u8p, _i64p, _i64p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _i32p]
+
+    lib.hg_hll_consume.restype = ctypes.c_longlong
+    lib.hg_hll_consume.argtypes = [
+        ctypes.c_int, ctypes.c_int, _u8p, _u8p, _i64p, _i64p,
+        ctypes.c_longlong]
+
+    lib.hg_find_all_tags_range.restype = ctypes.c_longlong
+    lib.hg_find_all_tags_range.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int,
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int,
+        ctypes.c_int, _u64p, ctypes.c_int64,
+        _u64p, ctypes.c_int64,
+        _u64p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _u64p, ctypes.c_longlong, _i64p]
+
+    lib.hg_median_counts.restype = None
+    lib.hg_median_counts.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
+        _u8p, _i64p, _i64p, ctypes.c_longlong, _i32p, _f32p, _f32p]
+
+    _LIB = lib
+    return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def mode():
+    return os.environ.get("KHMER_TPU_ENGINE", "auto")
+
+
+def use_host_for(sketch, op="graph"):
+    """Dispatch decision for one sketch + operation family."""
+    m = mode()
+    if m == "device":
+        return False
+    if not available():
+        return False
+    if sketch.storage_kind not in KIND:
+        return False
+    if op in ("graph", "diginorm", "trim") and \
+            sketch.hash_family != "twobit":
+        return False
+    if op == "murmur" and sketch.hash_family != "murmur":
+        return False
+    return True
+
+
+def n_threads():
+    try:
+        return max(1, int(os.environ.get("KHMER_TPU_HOST_THREADS",
+                                         os.cpu_count() or 1)))
+    except ValueError:
+        return 1
+
+
+# ----------------------------------------------------------------------
+# marshalling helpers
+
+def _tables_args(sketch):
+    """(writable host tables kept alive, u8** array, primes array)."""
+    tabs = sketch.host_tables()
+    ptrs = (_u8p * len(tabs))(*[t.ctypes.data_as(_u8p) for t in tabs])
+    primes = np.asarray(sketch._primes, dtype=np.uint64)
+    return tabs, ptrs, primes.ctypes.data_as(_u64p), primes
+
+
+def _view_args(sketch):
+    """Read-only variant (device copy kept)."""
+    tabs = sketch.host_view()
+    ptrs = (_u8p * len(tabs))(*[t.ctypes.data_as(_u8p) for t in tabs])
+    primes = np.asarray(sketch._primes, dtype=np.uint64)
+    return tabs, ptrs, primes.ctypes.data_as(_u64p), primes
+
+
+def _arr(a, ptr_t):
+    return np.ascontiguousarray(a).ctypes.data_as(ptr_t)
+
+
+def _sorted_u64(seq):
+    a = np.fromiter(seq, np.uint64, len(seq)) if not isinstance(
+        seq, np.ndarray) else np.asarray(seq, np.uint64)
+    a = np.sort(a)
+    return a
+
+
+class NativeSet:
+    """Owning wrapper around the native u64 set."""
+
+    def __init__(self, init=None, hint=64):
+        self._lib = _load()
+        self._h = self._lib.hg_set_create(int(hint))
+        if init is not None and len(init):
+            self.add_many(init)
+
+    def add_many(self, values):
+        a = np.fromiter(values, np.uint64, len(values)) if not \
+            isinstance(values, np.ndarray) else np.asarray(values,
+                                                           np.uint64)
+        a = np.ascontiguousarray(a)
+        self._lib.hg_set_add(self._h, a.ctypes.data_as(_u64p), len(a))
+
+    def __len__(self):
+        return int(self._lib.hg_set_size(self._h))
+
+    def export(self):
+        n = len(self)
+        out = np.empty(n, dtype=np.uint64)
+        got = self._lib.hg_set_export(self._h, out.ctypes.data_as(_u64p),
+                                      n)
+        assert got == n
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.hg_set_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# ----------------------------------------------------------------------
+# record packing: flat (codes, starts, ends) from various sources
+
+def pack_records(records, keep_records=False):
+    """Pack parsed records into flat code arrays.
+
+    Returns (codes u8, starts i64, ends i64, records-or-None).
+    """
+    from khmer_tpu.ops import hashing as H
+
+    seqs = []
+    kept = [] if keep_records else None
+    for rec in records:
+        seqs.append(rec.cleaned_seq)
+        if keep_records:
+            kept.append(rec)
+    n = len(seqs)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    codes = np.empty(int(ends[-1]) if n else 0, dtype=np.uint8)
+    for s, st in zip(seqs, starts):
+        codes[st:st + len(s)] = H.encode_dna(s)
+    return codes, starts, ends, kept
+
+
+def iter_packed_source(source, chunk_bases=1 << 24):
+    """Yield (codes, starts, ends, n_records) chunks from a file path or
+    record iterable, preferring the native parser for paths."""
+    if isinstance(source, str):
+        from khmer_tpu.io import native as ionat
+
+        if ionat.available():
+            for codes, meta, _names in ionat.pack_blocks(source):
+                starts = np.ascontiguousarray(meta[:, 0])
+                ends = np.ascontiguousarray(meta[:, 0] + meta[:, 1])
+                yield codes, starts, ends, len(meta)
+            return
+    from khmer_tpu.core import pipeline
+
+    batch = []
+    total = 0
+    for rec in pipeline.records_from(source):
+        batch.append(rec)
+        total += len(rec.cleaned_seq)
+        if total >= chunk_bases:
+            codes, starts, ends, _ = pack_records(batch)
+            yield codes, starts, ends, len(batch)
+            batch = []
+            total = 0
+    if batch:
+        codes, starts, ends, _ = pack_records(batch)
+        yield codes, starts, ends, len(batch)
+
+
+# ----------------------------------------------------------------------
+# high-level operations
+
+def consume_seqfile(sketch, source):
+    """Plain counting consume on the host tier (twobit or murmur
+    family).  Returns (total_reads, n_consumed)."""
+    lib = _load()
+    kind = KIND[sketch.storage_kind]
+    tabs, ptrs, primes_p, _keep = _tables_args(sketch)
+    k = sketch.ksize()
+    uq = ctypes.c_uint64(0)
+    oc = ctypes.c_uint64(0)
+    total_reads = 0
+    n_consumed = 0
+    track_sat = 1 if (getattr(sketch, "_use_bigcount", False)
+                      and sketch.storage_kind == "byte") else 0
+    for codes, starts, ends, n in iter_packed_source(source):
+        total_reads += n
+        sat_cap = len(codes) + 16
+        sat = np.empty(sat_cap, dtype=np.uint64) if track_sat else \
+            np.empty(1, dtype=np.uint64)
+        sat_n = ctypes.c_longlong(0)
+        args = (kind, ptrs, primes_p, len(tabs), k,
+                _arr(codes, _u8p), _arr(starts, _i64p), _arr(ends, _i64p),
+                n, track_sat, sat.ctypes.data_as(_u64p),
+                sat_cap if track_sat else 1, ctypes.byref(sat_n),
+                ctypes.byref(uq), ctypes.byref(oc))
+        if sketch.hash_family == "twobit":
+            got = lib.hg_consume_block(
+                kind, ptrs, primes_p, len(tabs), k,
+                _arr(codes, _u8p), _arr(starts, _i64p),
+                _arr(ends, _i64p), n, 0, 0, None, None,
+                track_sat, sat.ctypes.data_as(_u64p),
+                sat_cap if track_sat else 1, ctypes.byref(sat_n),
+                ctypes.byref(uq), ctypes.byref(oc))
+        else:
+            got = lib.hg_consume_block_murmur(*args)
+        if got < 0:
+            raise RuntimeError("host consume saturation overflow")
+        n_consumed += int(got)
+        for h in sat[:sat_n.value]:
+            sketch._bigcount_add(int(h), 1)
+    _bump_unique(sketch, int(uq.value))
+    return total_reads, n_consumed
+
+
+def consume_seqfile_and_tag(graph, source):
+    """Tagging consume on the host tier (reference
+    hashgraph.cc:279-320).  Returns (total_reads, n_consumed)."""
+    lib = _load()
+    kind = KIND[graph.storage_kind]
+    tabs, ptrs, primes_p, _keep = _tables_args(graph)
+    k = graph.ksize()
+    density = graph._tag_density
+    tags = NativeSet(init=_sorted_u64(graph.all_tags),
+                     hint=max(64, len(graph.all_tags)))
+    uq = ctypes.c_uint64(0)
+    oc = ctypes.c_uint64(0)
+    sat_n = ctypes.c_longlong(0)
+    track_sat = 1 if (getattr(graph, "_use_bigcount", False)
+                      and graph.storage_kind == "byte") else 0
+    total_reads = 0
+    n_consumed = 0
+    for codes, starts, ends, n in iter_packed_source(source):
+        total_reads += n
+        sat_cap = (len(codes) + 16) if track_sat else 1
+        sat = np.empty(sat_cap, dtype=np.uint64)
+        got = lib.hg_consume_block(
+            kind, ptrs, primes_p, len(tabs), k,
+            _arr(codes, _u8p), _arr(starts, _i64p), _arr(ends, _i64p),
+            n, 1, density, ctypes.c_void_p(tags._h), None,
+            track_sat, sat.ctypes.data_as(_u64p), sat_cap,
+            ctypes.byref(sat_n), ctypes.byref(uq), ctypes.byref(oc))
+        if got < 0:
+            raise RuntimeError("host consume saturation overflow")
+        n_consumed += int(got)
+        for h in sat[:sat_n.value]:
+            graph._bigcount_add(int(h), 1)
+    graph.all_tags = set(int(t) for t in tags.export())
+    tags.close()
+    _bump_unique(graph, int(uq.value))
+    return total_reads, n_consumed
+
+
+def _bump_unique(sketch, delta):
+    if delta:
+        sketch._n_unique = np.uint64(int(sketch._n_unique) + delta)
+
+
+def find_all_tags_range(graph, starts, break_on_stop_tags,
+                        stop_big_traversals, count_range=None,
+                        counting=None):
+    """find_all_tags for many start tags (canonical hashes) at once.
+
+    Returns a list of sorted numpy arrays, one per start — identical to
+    per-tag sequential reference runs (subset.cc:213-300).
+    """
+    lib = _load()
+    kind = KIND[graph.storage_kind]
+    tabs, ptrs, primes_p, _keep = _view_args(graph)
+    k = graph.ksize()
+    tags_sorted = _sorted_u64(graph.all_tags)
+    stops_sorted = _sorted_u64(graph.stop_tags)
+    sarr = np.ascontiguousarray(np.asarray(starts, dtype=np.uint64))
+    n = len(sarr)
+    if count_range is not None:
+        cg = counting if counting is not None else graph
+        ctabs, cptrs, cprimes_p, _ck = _view_args(cg)
+        ckind = KIND[cg.storage_kind]
+        use_range, cmin, cmax = 1, int(count_range[0]), int(count_range[1])
+    else:
+        ctabs, cptrs, cprimes_p = tabs, ptrs, primes_p
+        ckind, use_range, cmin, cmax = kind, 0, 0, 0
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    cap = max(1024, 8 * n)
+    while True:
+        out = np.empty(cap, dtype=np.uint64)
+        got = lib.hg_find_all_tags_range(
+            kind, ptrs, primes_p, len(tabs),
+            ckind, cptrs, cprimes_p, len(ctabs),
+            k, _arr(tags_sorted, _u64p), len(tags_sorted),
+            _arr(stops_sorted, _u64p), len(stops_sorted),
+            _arr(sarr, _u64p), n,
+            1 if break_on_stop_tags else 0,
+            1 if stop_big_traversals else 0,
+            graph._tag_density,
+            use_range, cmin, cmax, n_threads(),
+            out.ctypes.data_as(_u64p), cap,
+            out_offsets.ctypes.data_as(_i64p))
+        if got >= 0:
+            break
+        cap = -got
+    return [out[out_offsets[i]:out_offsets[i + 1]] for i in range(n)]
+
+
+def diginorm_window(graph, codes, starts, ends, bundle_offsets, cutoff):
+    """Sequential-exact diginorm over one window of bundles.
+
+    Mutates the graph's host tables in place; returns keep flags per
+    bundle (uint8 array).
+    """
+    lib = _load()
+    kind = KIND[graph.storage_kind]
+    tabs, ptrs, primes_p, _keep = _tables_args(graph)
+    k = graph.ksize()
+    nb = len(bundle_offsets) - 1
+    keep = np.zeros(nb, dtype=np.uint8)
+    uq = ctypes.c_uint64(0)
+    oc = ctypes.c_uint64(0)
+    lib.hg_diginorm(
+        kind, ptrs, primes_p, len(tabs), k,
+        _arr(codes, _u8p), _arr(starts, _i64p), _arr(ends, _i64p),
+        _arr(bundle_offsets, _i64p), nb, int(cutoff),
+        keep.ctypes.data_as(_u8p), ctypes.byref(uq), ctypes.byref(oc))
+    _bump_unique(graph, int(uq.value))
+    return keep
+
+
+def trim1_window(graph, codes, starts, ends, bundle_offsets, cutoff,
+                 trim_cov, digi_cov):
+    """trim-low-abund pass-1 over one window of bundles.
+
+    Returns (branch i32 per bundle, trim_at i32 per read)."""
+    lib = _load()
+    kind = KIND[graph.storage_kind]
+    tabs, ptrs, primes_p, _keep = _tables_args(graph)
+    k = graph.ksize()
+    nb = len(bundle_offsets) - 1
+    branch = np.zeros(nb, dtype=np.int32)
+    trim_at = np.zeros(len(starts), dtype=np.int32)
+    uq = ctypes.c_uint64(0)
+    oc = ctypes.c_uint64(0)
+    lib.hg_trim1(
+        kind, ptrs, primes_p, len(tabs), k,
+        _arr(codes, _u8p), _arr(starts, _i64p), _arr(ends, _i64p),
+        _arr(bundle_offsets, _i64p), nb, int(cutoff), int(trim_cov),
+        -1 if digi_cov is None else int(digi_cov),
+        branch.ctypes.data_as(_i32p), trim_at.ctypes.data_as(_i32p),
+        ctypes.byref(uq), ctypes.byref(oc))
+    _bump_unique(graph, int(uq.value))
+    return branch, trim_at
+
+
+def trim_filter(graph, codes, starts, ends, cutoff,
+                variable_coverage=False, normalize_to=20):
+    """Read-only trim positions (filter-abund); -1 for reads < k."""
+    lib = _load()
+    kind = KIND[graph.storage_kind]
+    tabs, ptrs, primes_p, _keep = _view_args(graph)
+    k = graph.ksize()
+    trim_at = np.zeros(len(starts), dtype=np.int32)
+    lib.hg_trim_filter(
+        kind, ptrs, primes_p, len(tabs), k,
+        _arr(codes, _u8p), _arr(starts, _i64p), _arr(ends, _i64p),
+        len(starts), int(cutoff), 1 if variable_coverage else 0,
+        int(normalize_to), trim_at.ctypes.data_as(_i32p))
+    return trim_at
+
+
+def median_counts(graph, codes, starts, ends):
+    """(median, average, stddev) per read (hashtable.cc:299-328);
+    median -1 marks reads shorter than k."""
+    lib = _load()
+    kind = KIND[graph.storage_kind]
+    tabs, ptrs, primes_p, _keep = _view_args(graph)
+    k = graph.ksize()
+    n = len(starts)
+    med = np.zeros(n, dtype=np.int32)
+    avg = np.zeros(n, dtype=np.float32)
+    std = np.zeros(n, dtype=np.float32)
+    lib.hg_median_counts(
+        kind, ptrs, primes_p, len(tabs), k,
+        _arr(codes, _u8p), _arr(starts, _i64p), _arr(ends, _i64p), n,
+        med.ctypes.data_as(_i32p), avg.ctypes.data_as(_f32p),
+        std.ctypes.data_as(_f32p))
+    return med, avg, std
+
+
+class NativeNormalizer:
+    """Window-batched exact diginorm on the host tier (drop-in for
+    core.diginorm_scan.ScanNormalizer)."""
+
+    def __init__(self, countgraph, desired_coverage, window=None):
+        if countgraph.storage_kind not in KIND:
+            raise ValueError("native normalizer needs bit/byte/nibble "
+                             "storage")
+        if countgraph.hash_family != "twobit":
+            raise ValueError("native normalizer needs the 2-bit hash")
+        self.graph = countgraph
+        self.C = int(desired_coverage)
+
+    def process_window(self, bundles):
+        n = len(bundles)
+        out = [[] for _ in range(n)]
+        if n == 0:
+            return out
+        recs = []
+        bundle_offsets = np.zeros(n + 1, dtype=np.int64)
+        for i, b in enumerate(bundles):
+            recs.extend(b)
+            bundle_offsets[i + 1] = len(recs)
+        codes, starts, ends, _ = pack_records(recs)
+        keep = diginorm_window(self.graph, codes, starts, ends,
+                               bundle_offsets, self.C)
+        for i in range(n):
+            if keep[i]:
+                out[i] = list(bundles[i])
+        return out
+
+    def finalize(self):
+        # host tables are authoritative already; nothing to flush
+        pass
+
+
+class NativeTrimmer:
+    """trim-low-abund pass-1 engine on the host tier (drop-in for
+    core.diginorm_scan.ScanTrimmerState)."""
+
+    def __init__(self, graph, cutoff, trim_cov, digi_cov=None,
+                 window=None):
+        if graph.storage_kind not in KIND or \
+                graph.hash_family != "twobit":
+            raise ValueError("native trimmer needs 2-bit hash and "
+                             "bit/byte/nibble storage")
+        self.graph = graph
+        self.cutoff = int(cutoff)
+        self.trim_cov = int(trim_cov)
+        self.digi_cov = digi_cov
+
+    def process_window(self, bundles):
+        n = len(bundles)
+        recs = []
+        bundle_offsets = np.zeros(n + 1, dtype=np.int64)
+        for i, b in enumerate(bundles):
+            recs.extend(b[:2])
+            bundle_offsets[i + 1] = len(recs)
+        codes, starts, ends, _ = pack_records(recs)
+        branch, flat_trim = trim1_window(
+            self.graph, codes, starts, ends, bundle_offsets,
+            self.cutoff, self.trim_cov, self.digi_cov)
+        # reshape per-bundle [n, 2] like the device engine
+        trim_at = np.zeros((n, 2), dtype=np.int32)
+        for i in range(n):
+            for j in range(min(2, bundle_offsets[i + 1]
+                               - bundle_offsets[i])):
+                trim_at[i, j] = flat_trim[bundle_offsets[i] + j]
+        return branch, trim_at
+
+    def finalize(self):
+        pass
+
+    def reload(self):
+        pass
+
+
+def hll_consume(registers, p, k, source):
+    """Stream a file through the native HLL ingester; returns
+    (total_reads, n_consumed).  registers is mutated in place."""
+    lib = _load()
+    total_reads = 0
+    n_consumed = 0
+    for codes, starts, ends, n in iter_packed_source(source):
+        total_reads += n
+        n_consumed += int(lib.hg_hll_consume(
+            int(k), int(p), registers.ctypes.data_as(_u8p),
+            _arr(codes, _u8p), _arr(starts, _i64p), _arr(ends, _i64p),
+            n))
+    return total_reads, n_consumed

@@ -114,6 +114,7 @@ class GraphLabels:
         """Label = partition id from the '\\tN' name annotation
         (reference labelhash.cc:147-199)."""
         from khmer_tpu.core import pipeline
+        from khmer_tpu.core.partition import _atoi_prefix
 
         graph = self.graph
         k = graph.ksize()
@@ -122,8 +123,15 @@ class GraphLabels:
         for record in pipeline.records_from(filename):
             seq = record.cleaned_seq
             name = record.name
+            # same mandatory-'\t' parse as consume_partitioned_fasta
+            # (reference read_parsers.hh:210-233 _parse_partition_id
+            # throws without the tab; atoi -> 0 on a bad suffix)
             parts = name.rsplit("\t", 1)
-            label = int(parts[1]) if len(parts) == 2 else 0
+            if len(parts) != 2:
+                raise ValueError(
+                    "consume_partitioned_fasta_and_tag_with_labels "
+                    "cannot find partition ID for read " + name)
+            label = _atoi_prefix(parts[1])
             total_reads += 1
             if len(seq) < k:
                 continue

@@ -23,6 +23,18 @@ import numpy as np
 from khmer_tpu.ops import hashing as H
 
 BIG_TRAVERSALS_ARE = 200  # reference: subset.cc:54
+
+import re as _re
+
+_ATOI_RE = _re.compile(r"^\s*[+-]?\d+")
+
+
+def _atoi_prefix(s):
+    """C atoi(): parse the leading integer prefix, 0 if none — so
+    '35 foo' and '35abc' give 35, matching the reference's partition-id
+    parse (include/oxli/read_parsers.hh:210-233)."""
+    m = _ATOI_RE.match(s)
+    return int(m.group(0)) if m else 0
 _range = range  # sweep_for_tags shadows the builtin with its kw-arg
 DEFAULT_BFS_BATCH = 2048
 
@@ -156,7 +168,21 @@ def find_all_tags_batch(graph, starts, break_on_stop_tags=False,
     (SubsetPartition::find_all_tags_truncate_on_abundance,
     subset.cc:399-496): nodes with sketch count outside the closed
     range are not traversed.
+
+    Dispatch: the native host engine (src/hostgraph.cc) runs the BFS
+    against a host table mirror when available — one thread pool over
+    start tags, zero device round trips; the per-level batched device
+    path below is the JAX reference implementation and the fallback.
     """
+    from khmer_tpu.core import hostengine
+
+    if hostengine.use_host_for(graph, "graph"):
+        canon = [min(int(f), int(r)) for f, r in starts]
+        res = hostengine.find_all_tags_range(
+            graph, canon, break_on_stop_tags, stop_big_traversals,
+            count_range)
+        return [set(int(t) for t in arr) for arr in res]
+
     max_breadth = 2 * graph._tag_density + 1
     count_filter = None
     if count_range is not None:
@@ -332,7 +358,7 @@ class SubsetPartition:
             self.next_partition_id = pid + 1
 
     def assign_partition_id(self, kmer, tagged_kmers):
-        if tagged_kmers:
+        if len(tagged_kmers):
             pp = self._join_partitions_by_tags(tagged_kmers, kmer)
             return pp.pid
         else:
@@ -340,6 +366,10 @@ class SubsetPartition:
             return 0
 
     def _join_partitions_by_tags(self, tagged_kmers, kmer):
+        # iterate in sorted order: the reference's SeenSet is an
+        # ordered std::set, and the first ASSIGNED tag found decides
+        # which partition ID survives the joins (subset.cc:680-689)
+        tagged_kmers = sorted(int(t) for t in tagged_kmers)
         this_pp = None
         for t in tagged_kmers:
             this_pp = self.partition_map.get(t)
@@ -411,16 +441,25 @@ class SubsetPartition:
         span = tags[lo:hi]
         k = self.graph.ksize()
 
+        from khmer_tpu.core import hostengine
+
+        native = hostengine.use_host_for(self.graph, "graph")
         for start in range(0, len(span), batch):
             chunk = span[start:start + batch]
-            starts = []
-            for tag in chunk:
-                s = H.reverse_hash(tag, k)
-                _, f, r = H._hash_scalar(s, k)
-                starts.append((f, r))
-            tagged_sets = find_all_tags_batch(
-                self.graph, starts, break_on_stop_tags,
-                stop_big_traversals, count_range=count_range)
+            if native:
+                # canonical tag hashes go straight to the native BFS
+                tagged_sets = hostengine.find_all_tags_range(
+                    self.graph, chunk, break_on_stop_tags,
+                    stop_big_traversals, count_range)
+            else:
+                starts = []
+                for tag in chunk:
+                    s = H.reverse_hash(tag, k)
+                    _, f, r = H._hash_scalar(s, k)
+                    starts.append((f, r))
+                tagged_sets = find_all_tags_batch(
+                    self.graph, starts, break_on_stop_tags,
+                    stop_big_traversals, count_range=count_range)
             for tag, tagged in zip(chunk, tagged_sets):
                 self.assign_partition_id(tag, tagged)
 
@@ -802,10 +841,7 @@ def consume_partitioned_fasta(graph, filename):
             raise ValueError(
                 "consume_partitioned_fasta cannot find partition ID "
                 "for read " + name)
-        try:
-            pid = int(parts[1])
-        except ValueError:
-            pid = 0  # atoi() semantics: non-numeric suffix parses as 0
+        pid = _atoi_prefix(parts[1])  # C atoi(): leading-digit prefix
         total_reads += 1
         if len(seq) < graph.ksize():
             continue

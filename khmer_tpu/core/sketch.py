@@ -51,11 +51,61 @@ class _Sketch:
             if len(primes) != n_tables:
                 raise RuntimeError("unable to find enough prime table sizes")
         self._primes = tuple(int(p) for p in primes)
-        self.tables = K.init_tables(self.storage_kind, self._primes)
+        self._tables_dev = None   # device residency (tuple of jax arrays)
+        self._tables_host = None  # host residency (tuple of numpy arrays)
         self._n_unique = jnp.uint64(0)
         self._overflow = jnp.zeros((), bool)
         self._use_bigcount = False
         self._bigcounts = {}
+
+    # -- table residency --------------------------------------------------
+    #
+    # Tables live on device (tuple of jax arrays, the throughput tier) or
+    # on host (tuple of numpy arrays, mutated in place by the native
+    # engine in src/hostgraph.cc), or both when in sync.  `tables` always
+    # yields the device residency, materializing zeros / uploading the
+    # host copy lazily; host_view() yields a read-only host mirror
+    # without dropping the device copy; host_tables() yields a writable
+    # host copy and makes the host authoritative until the next device
+    # access re-uploads.  A sketch driven purely through the native
+    # engine never touches the device at all (critical for the
+    # latency-bound small-stream paths — see doc/tpu.md).
+
+    @property
+    def tables(self):
+        if self._tables_dev is None:
+            if self._tables_host is not None:
+                self._tables_dev = tuple(jnp.asarray(t)
+                                         for t in self._tables_host)
+            else:
+                self._tables_dev = K.init_tables(self.storage_kind,
+                                                 self._primes)
+        return self._tables_dev
+
+    @tables.setter
+    def tables(self, value):
+        self._tables_dev = tuple(value)
+        self._tables_host = None
+
+    def host_view(self):
+        """Read-only numpy mirror of the tables (device copy kept)."""
+        if self._tables_host is None:
+            if self._tables_dev is not None:
+                self._tables_host = tuple(np.array(t)
+                                          for t in self._tables_dev)
+            else:
+                self._tables_host = K.init_host_tables(
+                    self.storage_kind, self._primes)
+        return self._tables_host
+
+    def host_tables(self):
+        """Writable numpy tables; host becomes the authority."""
+        tabs = self.host_view()
+        self._tables_dev = None
+        return tabs
+
+    def tables_resident_on_host(self):
+        return self._tables_dev is None and self._tables_host is not None
 
     # -- introspection ---------------------------------------------------
 
@@ -84,6 +134,9 @@ class _Sketch:
                                                   "_occupied_offset", 0)
 
     def _count_nonzero_t0(self):
+        if self.tables_resident_on_host():
+            return K.host_occupied(self.storage_kind,
+                                   self._tables_host[0])
         t0 = self.tables[0]
         if self.storage_kind == "byte":
             return int(K.byte_occupied(t0))
@@ -94,7 +147,7 @@ class _Sketch:
 
     def get_raw_tables(self):
         """Numpy copies of the raw table bytes (read-only use)."""
-        return [np.asarray(t) for t in self.tables]
+        return [np.array(t) for t in self.host_view()]
 
     # -- hashing ---------------------------------------------------------
 

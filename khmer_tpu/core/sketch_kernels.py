@@ -763,6 +763,49 @@ def bit_occupied(table0):
     return jnp.sum(jax.lax.population_count(table0).astype(jnp.uint64))
 
 
+def _zeros_touched(shape):
+    # np.zeros maps lazy pages; fill(0) touches them up front so the
+    # first consume doesn't pay the fault storm (the reference's
+    # constructors memset eagerly, storage.hh:138)
+    a = np.empty(shape, dtype=np.uint8)
+    a.fill(0)
+    return a
+
+
+def init_host_tables(kind, primes):
+    """Zeroed host (numpy) tables matching the device layouts."""
+    if kind == "blocked":
+        from khmer_tpu.core import blocked
+
+        return tuple(_zeros_touched((int(p), blocked.LANES))
+                     for p in primes)
+    arrays = []
+    for p in primes:
+        p = int(p)
+        if kind == "byte":
+            n = p
+        elif kind == "nibble":
+            n = p // 2 + 1
+        elif kind == "bit":
+            n = p // 8 + 1
+        else:
+            raise ValueError(kind)
+        arrays.append(_zeros_touched(n))
+    return tuple(arrays)
+
+
+def host_occupied(kind, table0):
+    """Host mirror of the occupied-bin counters above."""
+    if kind == "byte":
+        return int(np.count_nonzero(table0))
+    if kind == "nibble":
+        return int(np.count_nonzero(table0 >> 4)
+                   + np.count_nonzero(table0 & 0xF))
+    if kind == "bit":
+        return int(np.sum(np.unpackbits(table0).astype(np.uint64)))
+    raise ValueError(kind)
+
+
 def init_tables(kind, primes):
     """Allocate zeroed device tables for a storage kind."""
     if kind == "blocked":

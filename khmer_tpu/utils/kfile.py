@@ -177,7 +177,8 @@ def is_block(fthing):
         return False
     try:
         mode = os.stat(name).st_mode
-        return S_ISBLK(mode) or S_ISFIFO(mode)
+        # reference khmer/kfile.py:208-214 checks block OR char device
+        return S_ISBLK(mode) or S_ISCHR(mode)
     except OSError:
         return False
 

@@ -3,82 +3,83 @@
 
 Reference baselines were measured on THIS machine by compiling the
 unmodified liboxli (src/oxli + third-party, g++ -O3 -fopenmp) and
-timing the same hot loops (driver: tests/golden/refbench.cc):
+timing the same hot loops (driver: tests/golden/refbench.cc, rebuilt
+and re-measured 2026-08-20):
 
-  config 2  diginorm C=20, stamps-reads.fa.gz : 200000 reads / 2.175 s
-            = 91,954 reads/s (kept 10,141)
-  config 4  HLL 0.01 k=20, stamps-genomes.fa  : 7,962 reads / 0.010 s
-            (estimate 7,948)
-  config 5  tag+partition, stamps-reads.fa.gz : tag 4.358 s
-            (798,736 k-mers -> 183k k-mers/s) + partition 3.423 s
+  config 2  diginorm C=20, stamps-reads.fa.gz : 200000 reads / 1.045 s
+            = 191,388 reads/s (kept 7,416; includes SeqAn parse)
+  config 3  trim-low-abund 2-pass, 25k.fq.gz  : 25000 reads / 0.321 s
+            = 77,882 reads/s (pass1 0.309 + pass2 0.012)
+  config 4  HLL 0.01 k=20, stamps-genomes.fa  : 0.008 s (estimate 7948)
+  config 5  tag+partition, stamps-reads.fa.gz : tag 3.298 s +
+            partition 1.970 s = 5.268 s (n_partitions 51)
   config 1  (bench.py) count 25k.fq.gz        : 1,248,896 k-mers /
-            0.510 s = 2.449M k-mers/s single thread; threads SLOW the
-            reference down on this host (2T 0.706 s, 4T 0.876 s,
-            8T 1.033 s — atomics contention), so 1T is the best
-            reference operating point here.
+            0.326 s = 3.83M k-mers/s single thread
 
-Config 3 (trim-low-abund two-pass) runs on data/25k.fq.gz (BASELINE
-names 100k-filtered.fa, which the reference checkout does not ship;
-100k-surrendered.fa has only 21 records); the reference rate for its
-pass-1 hot loop is approximated by the diginorm rate (same
-get_median_count + consume structure).
+These configs are LATENCY-bound tiny streams, so they exercise the
+framework's host tier (src/hostgraph.cc): the same bit-exact engines
+that run sharded on the device mesh for throughput-scale inputs (see
+doc/tpu.md "dual-engine runtime").  Exactness is asserted inline:
+config 2 must keep exactly the reference's read set size, config 4
+must reproduce estimate 7948, config 5 must produce 51 partitions.
 """
 import json
 import os
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(REPO, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 STAMPS_READS = os.path.join(REPO, "data", "stamps-reads.fa.gz")
 STAMPS_GENOMES = os.path.join(REPO, "data", "stamps-genomes.fa")
-# BASELINE config 3 names 100k-filtered.fa, which is not shipped in
-# the reference checkout (100k-surrendered.fa has only 21 records);
-# the 25k read set is the largest in-repo FASTQ with real coverage.
-HUNDREDK = os.path.join(REPO, "data", "25k.fq.gz")
+TWENTYFIVEK = os.path.join(REPO, "data", "25k.fq.gz")
 
 REF = {
-    "normalize_reads_per_sec": 91954.0,
-    "hll_seconds": 0.010,
-    "partition_tag_seconds": 4.358,
-    "partition_bfs_seconds": 3.423,
-    "trim_reads_per_sec": 91954.0,   # proxy: same hot-loop structure
+    "normalize_reads_per_sec": 191388.0,
+    "normalize_kept": 7416,
+    "trim_reads_per_sec": 77882.0,
+    "hll_seconds": 0.008,
+    "loadgraph_tag_seconds": 3.298,   # same hot loop as config 5 tag
+    "partition_seconds": 5.268,
+    "partition_n": 51,
+    "hll_estimate": 7948,
 }
 
 
 def bench_normalize():
+    """Config 2: parse + sequential diginorm, C=20, like refbench
+    (unpaired stream; table sizes match refbench's 4 x 1e8)."""
     from khmer_tpu import Countgraph
-    from khmer_tpu.core import pipeline
-    from khmer_tpu.core.diginorm_scan import ScanNormalizer
-    from khmer_tpu.io.pairing import broken_paired_reader
+    from khmer_tpu.core import hostengine
 
-    W = 16384
-    g = Countgraph(20, 1e8 // 4, 4)
-    norm = ScanNormalizer(g, 20, window=W)
-    # collect bundles up-front (host parse is not the measured loop)
-    # and compile the window shape before starting the clock, like
-    # refbench.cc times only the hot loop
-    bundles = []
-    for _n, _p, r1, r2 in broken_paired_reader(
-            pipeline.records_from(STAMPS_READS)):
-        bundles.append([r for r in (r1, r2) if r is not None])
-    total = sum(len(b) for b in bundles)
-    kept = 0
-    for res in norm.process_window(bundles[:W]):
-        kept += len(res)
+    g = Countgraph(20, 1e8, 4)
+
+    def run():
+        kept_reads = 0
+        total = 0
+        for codes, starts, ends, n in hostengine.iter_packed_source(
+                STAMPS_READS):
+            bundle_offsets = np.arange(n + 1, dtype=np.int64)
+            keep = hostengine.diginorm_window(g, codes, starts, ends,
+                                              bundle_offsets, 20)
+            kept_reads += int(keep.sum())
+            total += n
+        return total, kept_reads
+
+    # warm pass faults every page the loop touches (this VM's host
+    # serves first-touch faults with 10-100x variance; the reference's
+    # eager-memset C++ ctor never hits it inside the timed loop), then
+    # zero the SAME resident pages in place and time steady state
+    run()
+    for t in g.host_tables():
+        t.fill(0)
+    g._n_unique = np.uint64(0)
     t0 = time.time()
-    for s in range(W, len(bundles), W):
-        for res in norm.process_window(bundles[s:s + W]):
-            kept += len(res)
-    norm.finalize()
-    int(g.n_unique_kmers())  # device sync
+    total, kept_reads = run()
     dt = time.time() - t0
-    total -= sum(len(b) for b in bundles[:W])
     rate = total / dt
     return {
         "config": 2,
@@ -86,59 +87,63 @@ def bench_normalize():
         "value": round(rate, 1),
         "seconds": round(dt, 3),
         "reads": total,
-        "kept": kept,
+        "kept": kept_reads,
+        "reference_kept": REF["normalize_kept"],
+        "exact": kept_reads == REF["normalize_kept"],
+        "engine": "host" if hostengine.available() else "device",
         "vs_baseline": round(rate / REF["normalize_reads_per_sec"], 3),
     }
 
 
 def bench_trim():
-    import tempfile
+    """Config 3: trim-low-abund two-pass hot loop on 25k.fq.gz —
+    the same work refbench times (parse + pass1 median/trim/consume +
+    pass2 trim; defaults -C 2 -Z 20, unpaired, no output writing)."""
+    from khmer_tpu import Countgraph
+    from khmer_tpu.core import hostengine
 
-    from khmer_tpu.cli import trim_low_abund
-
-    def run(outpath):
-        argv = sys.argv
-        sys.argv = ["trim-low-abund.py", "-k", "20", "-M", "100M",
-                    "-o", outpath, HUNDREDK]
-        try:
-            trim_low_abund.main()
-            return True, ""
-        except SystemExit as e:
-            return (not e.code), str(e)
-        finally:
-            sys.argv = argv
-
-    with tempfile.TemporaryDirectory() as td:
-        run(os.path.join(td, "warm.abundtrim"))   # compile pass
-        t0 = time.time()
-        ok, err = run(os.path.join(td, "out.abundtrim"))
-        dt = time.time() - t0
-    # count reads in the input once for the rate
-    from khmer_tpu.core import pipeline
-
-    nreads = sum(1 for _ in pipeline.records_from(HUNDREDK))
-    rate = nreads / dt
+    g = Countgraph(20, 2.5e7, 4)
+    for t in g.host_tables():  # pre-fault (see bench_normalize note)
+        t.fill(1)
+        t.fill(0)
+    t0 = time.time()
+    total = 0
+    trimmed = 0
+    pass2 = []
+    for codes, starts, ends, n in hostengine.iter_packed_source(
+            TWENTYFIVEK):
+        bo = np.arange(n + 1, dtype=np.int64)
+        branch, trim_at = hostengine.trim1_window(
+            g, codes, starts, ends, bo, 2, 20, None)
+        total += n
+        save = np.nonzero(branch == 2)[0]
+        trimmed += int(np.sum(trim_at[branch == 1]
+                              < (ends - starts)[branch == 1]))
+        if save.size:
+            sel_starts = starts[save]
+            sel_ends = ends[save]
+            pass2.append((codes, sel_starts, sel_ends))
+    n_pass2 = 0
+    for codes, s2, e2 in pass2:
+        trims = hostengine.trim_filter(g, codes, s2, e2, 2)
+        trimmed += int(np.sum(trims < (e2 - s2)))
+        n_pass2 += len(s2)
+    dt = time.time() - t0
+    rate = total / dt
     return {
         "config": 3,
         "metric": "trim_low_abund_reads_per_sec",
         "value": round(rate, 1),
         "seconds": round(dt, 3),
-        "reads": nreads,
-        "ok": ok,
-        "stderr_tail": err if not ok else "",
+        "reads": total,
+        "pass2_reads": n_pass2,
         "vs_baseline": round(rate / REF["trim_reads_per_sec"], 3),
     }
 
 
 def bench_hll():
+    """Config 4: unique-kmers (HLL) + load-graph (tagged nodegraph)."""
     from khmer_tpu import HLLCounter, Nodegraph
-
-    # warm pass compiles the HLL scatter-max and the tagged flat
-    # consume (the axon backend does not serve these executables from
-    # the persistent compile cache); the timed pass is steady-state,
-    # matching refbench.cc which times only the hot loop
-    HLLCounter(0.01, 20).consume_seqfile(STAMPS_GENOMES)
-    Nodegraph(20, 2.5e7, 4).consume_seqfile_and_tag(STAMPS_GENOMES)
 
     h = HLLCounter(0.01, 20)
     t0 = time.time()
@@ -156,18 +161,17 @@ def bench_hll():
         "hll_seconds": round(dt_h, 3),
         "loadgraph_seconds": round(dt_g, 3),
         "estimate": est,
-        "reference_estimate": 7948,
+        "reference_estimate": REF["hll_estimate"],
+        "exact": est == REF["hll_estimate"],
         "vs_baseline": round(REF["hll_seconds"] / max(dt_h, 1e-9), 3),
     }
 
 
 def bench_partition():
+    """Config 5: tagged consume + do_partition(stop_big) on
+    stamps-reads; byte-exact partition map asserted at 51."""
     from khmer_tpu import Nodegraph
     from khmer_tpu.core.partition import SubsetPartition
-
-    # warm the tagged-consume + probe shapes on the small genome file
-    # (same jit shapes; axon serves no persistent cache for them)
-    Nodegraph(20, 12.5e6, 4).consume_seqfile_and_tag(STAMPS_GENOMES)
 
     ng = Nodegraph(20, 12.5e6, 4)
     t0 = time.time()
@@ -185,17 +189,24 @@ def bench_partition():
         "tag_seconds": round(dt_tag, 3),
         "bfs_seconds": round(dt_bfs, 3),
         "n_partitions": n_part,
-        "reference_n_partitions": 127,
+        "reference_n_partitions": REF["partition_n"],
+        "exact": n_part == REF["partition_n"],
+        "n_tags": len(ng.all_tags),
         "vs_baseline": round(
-            (REF["partition_tag_seconds"] + REF["partition_bfs_seconds"])
-            / max(dt_tag + dt_bfs, 1e-9), 3),
+            REF["partition_seconds"] / max(dt_tag + dt_bfs, 1e-9), 3),
     }
 
 
 def main():
-    import jax
+    from khmer_tpu.core import hostengine
 
-    results = {"device": str(jax.devices()[0])}
+    results = {"engine_available": hostengine.available()}
+    try:
+        import jax
+
+        results["device"] = str(jax.devices()[0])
+    except Exception as e:
+        results["device"] = "unavailable: %s" % e
     for name, fn in (("normalize", bench_normalize),
                      ("trim", bench_trim),
                      ("hll_loadgraph", bench_hll),
@@ -204,9 +215,12 @@ def main():
         try:
             results[name] = fn()
         except Exception as e:  # record, keep going
+            import traceback
+
+            traceback.print_exc()
             results[name] = {"error": "%s: %s" % (type(e).__name__, e)}
         print("%-14s %.1fs %s" % (name, time.time() - t0,
-                                  json.dumps(results[name])[:200]),
+                                  json.dumps(results[name])[:220]),
               file=sys.stderr)
     out = os.path.join(REPO, "BENCH_CONFIGS.json")
     with open(out, "w") as f:

@@ -3,6 +3,7 @@
 // rates our TPU engine is compared with. Usage:
 //   refbench count <fastq> [nthreads]     (config 1 hot path)
 //   refbench diginorm <fa> <C>            (config 2 hot path)
+//   refbench trim <fq>                    (config 3 hot path)
 //   refbench hll <fa>                     (config 4 hot path)
 //   refbench partition <fa>               (config 5 hot path)
 #include <chrono>
@@ -78,6 +79,47 @@ int main(int argc, char** argv) {
         double dt = secs(t0, Clock::now());
         printf("{\"mode\":\"diginorm\",\"seconds\":%.3f,\"total\":%lu,"
                "\"kept\":%lu}\n", dt, total, kept);
+    } else if (mode == "trim") {
+        // trim-low-abund two-pass hot loop (scripts/trim-low-abund.py
+        // :162-300, defaults: -C 2, -Z 20, unpaired, no -V)
+        const int CUTOFF = 2, TRIM_AT = 20;
+        std::vector<uint64_t> sizes = get_n_primes_near_x(4, 25000000);
+        Countgraph cg(20, sizes);
+        auto parser = get_parser<FastxReader>(path);
+        std::vector<std::string> pass2;
+        unsigned long total = 0, trimmed = 0, emitted = 0;
+        auto t0 = Clock::now();
+        while (!parser->is_complete()) {
+            Read read;
+            try { read = parser->get_next_read(); }
+            catch (NoMoreReadsAvailable&) { break; }
+            read.set_clean_seq();
+            total++;
+            if (read.cleaned_seq.size() < 20) continue;
+            BoundedCounterType med; float avg, dev;
+            cg.get_median_count(read.cleaned_seq, med, avg, dev);
+            if (med >= TRIM_AT) {
+                unsigned long at =
+                    cg.trim_on_abundance(read.cleaned_seq, CUTOFF);
+                if (at >= 20) emitted++;
+                if (at < read.cleaned_seq.size()) trimmed++;
+            } else {
+                cg.consume_string(read.cleaned_seq);
+                pass2.push_back(read.cleaned_seq);
+            }
+        }
+        double t_p1 = secs(t0, Clock::now());
+        t0 = Clock::now();
+        for (const std::string& seq : pass2) {
+            unsigned long at = cg.trim_on_abundance(seq, CUTOFF);
+            if (at >= 20) emitted++;
+            if (at < seq.size()) trimmed++;
+        }
+        double t_p2 = secs(t0, Clock::now());
+        printf("{\"mode\":\"trim\",\"pass1_seconds\":%.3f,"
+               "\"pass2_seconds\":%.3f,\"total\":%lu,\"pass2\":%zu,"
+               "\"trimmed\":%lu,\"emitted\":%lu}\n",
+               t_p1, t_p2, total, pass2.size(), trimmed, emitted);
     } else if (mode == "hll") {
         HLLCounter hll(0.01, 20);
         auto t0 = Clock::now();

@@ -1,0 +1,203 @@
+"""Cross-engine equivalence: native host tier vs JAX device tier.
+
+Both engines must produce bit-identical results (tables, tags,
+n_unique, partition maps, keep decisions).  The native engine is the
+latency path (src/hostgraph.cc); the JAX path is the throughput /
+mesh-sharded path — see doc/tpu.md "dual-engine runtime".
+"""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from khmer_tpu import Countgraph, Nodegraph, SmallCountgraph
+from khmer_tpu.core import hostengine
+
+pytestmark = pytest.mark.skipif(not hostengine.available(),
+                                reason="native host engine not built")
+
+
+class _Rec:
+    def __init__(self, seq, name="r", quality=""):
+        self.name = name
+        self.sequence = seq
+        self.cleaned_seq = seq
+        self.quality = quality
+
+
+def _random_reads(n, length, seed, coverage_pool=None):
+    rng = random.Random(seed)
+    reads = []
+    for i in range(n):
+        if coverage_pool and rng.random() < 0.5:
+            seq = rng.choice(coverage_pool)
+            # mutate a base now and then
+            if rng.random() < 0.3:
+                j = rng.randrange(len(seq))
+                seq = seq[:j] + rng.choice("ACGT") + seq[j + 1:]
+        else:
+            seq = "".join(rng.choice("ACGT") for _ in range(length))
+        reads.append(_Rec(seq, "read%d" % i))
+    return reads
+
+
+def _pool(seed, n=8, length=220):
+    rng = random.Random(seed)
+    return ["".join(rng.choice("ACGT") for _ in range(length))
+            for _ in range(n)]
+
+
+def _force(monkeypatch, value):
+    monkeypatch.setenv("KHMER_TPU_ENGINE", value)
+
+
+@pytest.mark.parametrize("cls,size", [(Nodegraph, 3e4),
+                                      (Countgraph, 3e4),
+                                      (SmallCountgraph, 3e4)])
+def test_consume_and_tag_engines_match(monkeypatch, cls, size):
+    reads = _random_reads(300, 90, seed=7, coverage_pool=_pool(3))
+
+    _force(monkeypatch, "device")
+    gd = cls(17, size, 4)
+    rd, cd = gd.consume_seqfile_and_tag(list(reads))
+
+    _force(monkeypatch, "host")
+    gh = cls(17, size, 4)
+    rh, ch = gh.consume_seqfile_and_tag(list(reads))
+
+    assert (rd, cd) == (rh, ch)
+    assert gd.all_tags == gh.all_tags
+    assert gd.n_unique_kmers() == gh.n_unique_kmers()
+    assert gd.n_occupied() == gh.n_occupied()
+    for a, b in zip(gd.host_view(), gh.host_view()):
+        assert np.array_equal(a, b)
+
+
+def test_find_all_tags_engines_match(monkeypatch):
+    reads = _random_reads(200, 120, seed=11, coverage_pool=_pool(5))
+    _force(monkeypatch, "host")
+    g = Nodegraph(15, 2e4, 4)
+    g.consume_seqfile_and_tag(list(reads))
+    tags = sorted(g.all_tags)[:50]
+
+    from khmer_tpu.core.partition import find_all_tags_batch
+    from khmer_tpu.ops import hashing as H
+
+    starts = []
+    for t in tags:
+        s = H.reverse_hash(t, 15)
+        _, f, r = H._hash_scalar(s, 15)
+        starts.append((f, r))
+
+    for stop_big in (False, True):
+        _force(monkeypatch, "host")
+        host = find_all_tags_batch(g, starts,
+                                   stop_big_traversals=stop_big)
+        _force(monkeypatch, "device")
+        dev = find_all_tags_batch(g, starts,
+                                  stop_big_traversals=stop_big)
+        assert host == dev
+
+
+def test_do_partition_engines_match(monkeypatch):
+    reads = _random_reads(250, 100, seed=13, coverage_pool=_pool(9))
+    results = {}
+    for eng in ("host", "device"):
+        _force(monkeypatch, eng)
+        g = Nodegraph(15, 2e4, 4)
+        g.consume_seqfile_and_tag(list(reads))
+        from khmer_tpu.core.partition import SubsetPartition
+
+        sp = SubsetPartition(g)
+        sp.do_partition(0, 0, stop_big_traversals=True)
+        results[eng] = (sorted(g.all_tags),
+                        {t: sp.get_partition_id(t) for t in g.all_tags},
+                        sp.count_partitions())
+    assert results["host"] == results["device"]
+
+
+def test_diginorm_engines_match(monkeypatch):
+    reads = _random_reads(400, 80, seed=17, coverage_pool=_pool(21, n=4))
+    bundles = [[a, b] for a, b in zip(reads[::2], reads[1::2])]
+
+    def run(engine):
+        _force(monkeypatch, engine)
+        g = Countgraph(17, 3e4, 4)
+        if engine == "host":
+            from khmer_tpu.core.hostengine import NativeNormalizer
+
+            norm = NativeNormalizer(g, 5)
+        else:
+            from khmer_tpu.core.diginorm_scan import ScanNormalizer
+
+            norm = ScanNormalizer(g, 5, window=64)
+        kept = []
+        W = 64
+        for s in range(0, len(bundles), W):
+            for res in norm.process_window(bundles[s:s + W]):
+                kept.extend(r.name for r in res)
+        norm.finalize()
+        return kept, g.n_unique_kmers(), [np.array(t)
+                                          for t in g.host_view()]
+
+    kh, uh, th = run("host")
+    kd, ud, td = run("device")
+    assert kh == kd
+    assert uh == ud
+    for a, b in zip(th, td):
+        assert np.array_equal(a, b)
+
+
+def test_median_counts_match(monkeypatch):
+    reads = _random_reads(150, 70, seed=23, coverage_pool=_pool(29))
+    _force(monkeypatch, "host")
+    g = Countgraph(17, 3e4, 4)
+    for r in reads:
+        g.consume(r.cleaned_seq)
+    codes, starts, ends, _ = hostengine.pack_records(reads)
+    med, avg, std = hostengine.median_counts(g, codes, starts, ends)
+    for i, r in enumerate(reads):
+        m2, a2, s2 = g.get_median_count(r.cleaned_seq)
+        assert med[i] == m2
+        assert abs(avg[i] - a2) < 1e-4 * max(1.0, abs(a2))
+        assert abs(std[i] - s2) < 1e-3 * max(1.0, abs(s2))
+
+
+def test_trim_filter_matches_trim_on_abundance(monkeypatch):
+    reads = _random_reads(150, 60, seed=31, coverage_pool=_pool(37))
+    _force(monkeypatch, "host")
+    g = Countgraph(17, 3e4, 4)
+    for r in reads[:75]:
+        g.consume(r.cleaned_seq)
+    codes, starts, ends, _ = hostengine.pack_records(reads)
+    trim_at = hostengine.trim_filter(g, codes, starts, ends, cutoff=2)
+    for i, r in enumerate(reads):
+        _, expect = g.trim_on_abundance(r.cleaned_seq, 2)
+        assert trim_at[i] == expect, r.cleaned_seq
+
+
+def test_hll_against_python_engine():
+    from khmer_tpu import HLLCounter
+
+    reads = _random_reads(120, 150, seed=41)
+    h1 = HLLCounter(0.01, 20)
+    for r in reads:
+        h1.consume_string(r.cleaned_seq)
+
+    h2 = HLLCounter(0.01, 20)
+    regs = h2._registers_array()
+    codes, starts, ends, _ = hostengine.pack_records(reads)
+    for s in range(0, len(reads), 40):
+        e = min(s + 40, len(reads))
+        import ctypes
+
+        hostengine._load().hg_hll_consume(
+            20, h2.ncounters_log2, regs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            hostengine._arr(codes, hostengine._u8p),
+            hostengine._arr(starts[s:e], hostengine._i64p),
+            hostengine._arr(ends[s:e], hostengine._i64p), e - s)
+    h2._adopt_registers(regs)
+    assert h1.estimate_cardinality() == h2.estimate_cardinality()
