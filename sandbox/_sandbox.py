@@ -20,6 +20,42 @@ def iter_records(filename):
     return FastxParser(filename)
 
 
+def ticker(every=10000, fmt='... %d', out=None):
+    """Progress callback: call per item, prints every `every` items."""
+    state = {"n": 0}
+
+    def tick(*extra):
+        state["n"] += 1
+        if state["n"] % every == 0:
+            print(fmt % state["n"], *extra, file=out or sys.stdout)
+        return state["n"]
+
+    return tick
+
+
+def record_windows(filename, size=8192):
+    """Yield lists of records — the batching unit for the windowed
+    sandbox engines (median/count sweeps run one native or device call
+    per window instead of one per read)."""
+    batch = []
+    for record in FastxParser(filename):
+        batch.append(record)
+        if len(batch) >= size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def emit_fasta(fp, name, seq, wrap=0):
+    fp.write(">%s\n" % name)
+    if wrap:
+        for i in range(0, len(seq), wrap):
+            fp.write(seq[i:i + wrap] + "\n")
+    else:
+        fp.write(seq + "\n")
+
+
 # -- naive six-frame translation helpers shared by the streaming-assembly
 # scripts (reference sandbox/assemble-and-track.py:14-67 keeps a private
 # copy in each script; we share one).

@@ -1,65 +1,72 @@
 #!/usr/bin/env python
-"""Histogram of per-read median k-mer counts against a saved
-countgraph, with cumulative counts and fractions.
+"""Cumulative histogram of per-read median k-mer counts.
 
-Sandbox-tier equivalent of reference
-sandbox/calc-median-distribution.py:38-90.
+Sweeps a read set against a saved countgraph and writes, per observed
+median value m: ``m  count(m)  cumulative  fraction``.  Medians come
+from the framework's batched engine — one native call per window of
+reads instead of one lookup per read (reference peer:
+calc-median-distribution; host tier: hostengine.median_counts).
 
-% python sandbox/calc-median-distribution.py <graph> <seqfile> <histout>
+usage: python sandbox/calc-median-distribution.py <graph> <reads> <out>
 """
 
 import argparse
+from collections import Counter
 
-from _sandbox import iter_records
+from _sandbox import record_windows, ticker
 
 from khmer_tpu import load_countgraph
+from khmer_tpu.core import hostengine
 
 
-def main():
-    parser = argparse.ArgumentParser(
-        description="Output k-mer abundance distribution.")
-
-    parser.add_argument('hashname')
-    parser.add_argument('seqfile')
-    parser.add_argument('histout')
-
-    args = parser.parse_args()
-
-    outfp = open(args.histout, 'w')
-
-    print('hashtable from', args.hashname)
-    ht = load_countgraph(args.hashname)
-
-    hist = {}
-
-    for i in range(65536):
-        hist[i] = 0
-
-    for n, record in enumerate(iter_records(args.seqfile)):
-        if n > 0 and n % 100000 == 0:
-            print('...', n)
-
-        seq = record.sequence.replace('N', 'A')
-
-        try:
-            med, _, _ = ht.get_median_count(seq)
-        except ValueError:
-            continue
-
-        hist[med] = hist[med] + 1
-
-    histlist = list(hist.items())
-    histlist.sort()
-
-    sumk = sum(hist.values())
-
-    sofar = 0
-    for n, m in histlist:
-        sofar += m
-        percent = float(sofar) / sumk
-        outfp.write('%d %d %d %.3f\n' % (n, m, sofar, percent))
-    outfp.close()
+def median_histogram(graph, seqfile, tick=None):
+    """Counter of per-read median counts (reads < k are skipped)."""
+    hist = Counter()
+    for window in record_windows(seqfile):
+        if hostengine.use_host_for(graph, "graph"):
+            codes, starts, ends, _ = hostengine.pack_records(window)
+            meds, _avg, _std = hostengine.median_counts(
+                graph, codes, starts, ends)
+            hist.update(int(m) for m in meds if m >= 0)
+        else:
+            for record in window:
+                try:
+                    med, _, _ = graph.get_median_count(
+                        record.cleaned_seq)
+                except ValueError:
+                    continue
+                hist[int(med)] += 1
+        if tick:
+            for _ in window:
+                tick()
+    return hist
 
 
-if __name__ == '__main__':
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="per-read median-count distribution")
+    ap.add_argument("hashname")
+    ap.add_argument("seqfile")
+    ap.add_argument("histout")
+    args = ap.parse_args(argv)
+
+    print("hashtable from", args.hashname)
+    graph = load_countgraph(args.hashname)
+
+    hist = median_histogram(graph, args.seqfile,
+                            tick=ticker(100000, "... %d"))
+
+    total = sum(hist.values())
+    running = 0
+    with open(args.histout, "w") as out:
+        # one row per possible median value, zeros included
+        # (MAX_BIGCOUNT+1 rows, like the reference's histogram files)
+        for med in range(65536):
+            running += hist.get(med, 0)
+            out.write("%d %d %d %.3f\n"
+                      % (med, hist.get(med, 0), running,
+                         running / total))
+
+
+if __name__ == "__main__":
     main()

@@ -1,63 +1,67 @@
 #!/usr/bin/env python
-"""Filter reads by connected-graph size: keep a read iff the component
-around its first k-mer has >= 500 nodes.
+"""Keep only reads that sit inside a big connected component.
 
-Sandbox-tier equivalent of reference sandbox/graph-size.py:36-91.
+Builds a Bloom de Bruijn graph over the input, then walks the
+component around each read's first k-mer (bounded at the threshold —
+the walk stops as soon as 500 nodes are reachable) and emits the read
+iff the bound is hit.  Behavioral peer of the reference's graph-size
+filter (K=32, 4x4e6 Bloom, threshold 500); the threaded worker pool it
+used is replaced by the framework's bounded component walk.
 
-% python sandbox/graph-size.py <input> [<output>]
+usage: python sandbox/graph-size.py <input> [<output>]
 """
 
-import os.path
-import sys
+import argparse
+import os
 
-from _sandbox import *  # noqa: F401,F403
+from _sandbox import emit_fasta, iter_records, ticker
 
 from khmer_tpu import Nodegraph
-from khmer_tpu.utils.thread_utils import (ThreadedSequenceProcessor,
-                                          verbose_fasta_iter)
 
 K = 32
-HASHTABLE_SIZE = int(4e6)
+TABLE_SIZE = int(4e6)
+N_TABLES = 4
 THRESHOLD = 500
-N_HT = 4
-WORKER_THREADS = 5
-
-GROUPSIZE = 100
 
 
-def main():
-    infile = sys.argv[1]
-    outfile = os.path.basename(infile) + '.graphsize'
-    if len(sys.argv) == 3:
-        outfile = sys.argv[2]
-
-    print('input file to graphsize filter: %s' % infile)
-    print('filtering to output:', outfile)
-    print('-- settings:')
-    print('K', K)
-    print('HASHTABLE SIZE %g' % HASHTABLE_SIZE)
-    print('N HASHTABLES %d' % N_HT)
-    print('THRESHOLD', THRESHOLD)
-    print('N THREADS', WORKER_THREADS)
-    print('--')
-
-    print('creating ht')
-    ht = Nodegraph(K, HASHTABLE_SIZE, N_HT)
-    print('eating fa', infile)
-    ht.consume_seqfile(infile)
-    outfp = open(outfile, 'w')
-
-    def process_fn(record, ht=ht):
-        kmer = record.sequence[:K]
-        size = ht.calc_connected_graph_size(kmer, THRESHOLD)
-        if size >= THRESHOLD:
-            return record.name, record.sequence
-
-        return None, None
-
-    tsp = ThreadedSequenceProcessor(process_fn, WORKER_THREADS, GROUPSIZE)
-    tsp.start(verbose_fasta_iter(infile), outfp)
+def component_reaches(graph, kmer, threshold):
+    """True iff >= threshold nodes are reachable from kmer."""
+    return graph.calc_connected_graph_size(kmer, threshold) >= threshold
 
 
-if __name__ == '__main__':
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="filter reads by connected-component size")
+    ap.add_argument("input")
+    ap.add_argument("output", nargs="?", default=None)
+    args = ap.parse_args(argv)
+
+    outname = args.output or os.path.basename(args.input) + ".graphsize"
+    print("input file to graphsize filter: %s" % args.input)
+    print("filtering to output:", outname)
+    print("-- settings:")
+    print("K", K)
+    print("HASHTABLE SIZE %g" % TABLE_SIZE)
+    print("N HASHTABLES %d" % N_TABLES)
+    print("THRESHOLD", THRESHOLD)
+    print("--")
+
+    graph = Nodegraph(K, TABLE_SIZE, N_TABLES)
+    print("eating fa", args.input)
+    graph.consume_seqfile(args.input)
+
+    tick = ticker(fmt="... filtering %d")
+    kept = 0
+    with open(outname, "w") as out:
+        for record in iter_records(args.input):
+            tick()
+            if len(record.sequence) < K:
+                continue
+            if component_reaches(graph, record.sequence[:K], THRESHOLD):
+                kept += 1
+                emit_fasta(out, record.name, record.sequence)
+    print("kept %d reads with component >= %d" % (kept, THRESHOLD))
+
+
+if __name__ == "__main__":
     main()

@@ -1,30 +1,41 @@
 #!/usr/bin/env python
-"""Rename sequences >= 200 bp with a numbered prefix, wrapping the
-sequence at 80 columns; output to stdout.
+"""Renumber long sequences under a common prefix.
 
-Sandbox-tier equivalent of reference sandbox/multi-rename.py:42-55.
+Every record of >= 200 bp across the input files is written to stdout
+as ``><prefix>.<serial> <original name>`` with the sequence wrapped at
+80 columns.  (Behavioral peer of the reference's sandbox multi-rename;
+records below the cutoff are dropped.)
 
-% python sandbox/multi-rename.py <prefix> <file1> [<file2> ...]
+usage: python sandbox/multi-rename.py <prefix> <file> [<file> ...]
 """
 
-import sys
-import textwrap
+import argparse
 
-from _sandbox import iter_records
+from _sandbox import emit_fasta, iter_records
 
-CUTOFF = 200
-
-
-def main():
-    n = 0
-    prefix = sys.argv[1]
-    for filename in sys.argv[2:]:
-        for record in iter_records(filename):
-            if len(record.sequence) >= CUTOFF:
-                n += 1
-                print('>%s.%s %s' % (prefix, n, record.name))
-                print("\n".join(textwrap.wrap(record.sequence, 80)))
+MIN_LEN = 200
+WRAP = 80
 
 
-if __name__ == '__main__':
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="renumber >=%dbp records under one prefix" % MIN_LEN)
+    ap.add_argument("prefix")
+    ap.add_argument("filenames", nargs="+")
+    args = ap.parse_args(argv)
+
+    import sys
+
+    serial = 0
+    for path in args.filenames:
+        for record in iter_records(path):
+            if len(record.sequence) < MIN_LEN:
+                continue
+            serial += 1
+            emit_fasta(sys.stdout, "%s.%d %s" % (args.prefix, serial,
+                                                 record.name),
+                       record.sequence, wrap=WRAP)
+
+
+if __name__ == "__main__":
     main()

@@ -1,46 +1,49 @@
 #!/usr/bin/env python
-"""Deal sequences round-robin (reverse rotary order) into 100
-numbered output files.
+"""Deal records round-robin into 100 numbered buckets, in reverse
+rotary order (record i lands in bucket file ``prefix.(100 - i%100)``
+... i.e. the file numbering runs opposite to the dealing order).
 
-Sandbox-tier equivalent of reference sandbox/shuffle-reverse-rotary.py:36-68
-(with the reference's argparse typo `parser.add_argument(filenames, ...)`
-fixed to a string).
+Behavioral peer of the reference's reverse-rotary shuffler; the
+output-file naming (``<basename first input>.NNN``) and record->file
+mapping match.
 
-% python sandbox/shuffle-reverse-rotary.py <file1> [<file2> ...]
+usage: python sandbox/shuffle-reverse-rotary.py <file> [<file> ...]
 """
 
 import argparse
-import os.path
+import os
+from contextlib import ExitStack
 
-from _sandbox import iter_records
+from _sandbox import emit_fasta, iter_records, ticker
 
-ROTARY_SIZE = 100
+BUCKETS = 100
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument('filenames', nargs='+')
-    args = parser.parse_args()
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="reverse-rotary shuffle into %d files" % BUCKETS)
+    ap.add_argument("filenames", nargs="+")
+    args = ap.parse_args(argv)
 
     prefix = os.path.basename(args.filenames[0])
+    tick = ticker()
 
-    fp_d = {}
-    for n in range(0, ROTARY_SIZE):
-        num = ROTARY_SIZE - n
-        fp_d[n] = open(prefix + '.%03d' % num, 'w')
+    with ExitStack() as stack:
+        # slot s (= serial % BUCKETS) writes to file numbered
+        # BUCKETS - s: the "reverse" in reverse-rotary
+        sinks = [stack.enter_context(
+            open("%s.%03d" % (prefix, BUCKETS - s), "w"))
+            for s in range(BUCKETS)]
+        total = 0
+        for path in args.filenames:
+            for record in iter_records(path):
+                total = tick()
+                emit_fasta(sinks[total % BUCKETS], record.name,
+                           record.sequence)
 
-    total = 0
-    for filename in args.filenames:
-        for record in iter_records(filename):
-            total += 1
-            if total % 10000 == 0:
-                print('...', total)
-            loc = total % ROTARY_SIZE
-            fp_d[loc].write('>%s\n%s\n' % (record.name, record.sequence))
-
-    print('reverse-rotary shuffled %d sequences into %d files (%s.NNN)' %
-          (total, ROTARY_SIZE, prefix))
+    print("reverse-rotary shuffled %d sequences into %d files (%s.NNN)"
+          % (total, BUCKETS, prefix))
 
 
-if __name__ == '__main__':
+if __name__ == "__main__":
     main()

@@ -1,77 +1,89 @@
 #!/usr/bin/env python
-"""Keep reads whose median k-mer coverage (against a saved countgraph)
-falls within [min-coverage, max-coverage].
+"""Slice a read set by median-coverage band.
 
-Sandbox-tier equivalent of reference sandbox/slice-reads-by-coverage.py:36-101.
+Keeps reads whose median k-mer count against a saved countgraph lies
+in [min-coverage, max-coverage] (either bound optional, at least one
+required).  Medians come from the framework's batched engine — one
+native call per window of reads (behavioral peer of the reference's
+coverage slicer; reads shorter than k are dropped like its
+zero-count-array skip).
 
-% python sandbox/slice-reads-by-coverage.py [-m MIN] [-M MAX] <graph> <in> <out>
+usage: python sandbox/slice-reads-by-coverage.py [-m MIN] [-M MAX]
+           <graph> <reads-in> <reads-out>
 """
 
 import argparse
 import sys
 
-from _sandbox import iter_records
+from _sandbox import record_windows, write_record
 
 from khmer_tpu import load_countgraph
-from khmer_tpu.core.pipeline import counts_for_records
+from khmer_tpu.core import hostengine
 
 
-def output_single(read):
-    if getattr(read, 'quality', None):
-        return "@%s\n%s\n+\n%s\n" % (read.name, read.sequence, read.quality)
-    return ">%s\n%s\n" % (read.name, read.sequence)
+def window_medians(graph, window):
+    """Per-record medians for one window; -1 marks reads < k."""
+    if hostengine.use_host_for(graph, "graph"):
+        codes, starts, ends, _ = hostengine.pack_records(window)
+        meds, _avg, _std = hostengine.median_counts(graph, codes,
+                                                    starts, ends)
+        return [int(m) for m in meds]
+    out = []
+    for record in window:
+        try:
+            med, _, _ = graph.get_median_count(record.cleaned_seq)
+            out.append(int(med))
+        except ValueError:
+            out.append(-1)
+    return out
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument('-m', '--min-coverage', type=int, default=None)
-    parser.add_argument('-M', '--max-coverage', type=int, default=None)
-    parser.add_argument('input_count_graph')
-    parser.add_argument('input_readfile')
-    parser.add_argument('output_readfile')
-    args = parser.parse_args()
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="keep reads with median coverage in a band")
+    ap.add_argument("-m", "--min-coverage", type=int, default=None)
+    ap.add_argument("-M", "--max-coverage", type=int, default=None)
+    ap.add_argument("input_count_graph")
+    ap.add_argument("input_readfile")
+    ap.add_argument("output_readfile")
+    args = ap.parse_args(argv)
 
-    print('min_coverage: %s' % args.min_coverage, file=sys.stderr)
-    print('max_coverage: %s' % args.max_coverage, file=sys.stderr)
+    print("min_coverage: %s" % args.min_coverage, file=sys.stderr)
+    print("max_coverage: %s" % args.max_coverage, file=sys.stderr)
 
     if not (args.min_coverage or args.max_coverage):
         print("neither min nor max coverage specified!? exiting!",
               file=sys.stderr)
         sys.exit(1)
-
     if args.min_coverage and args.max_coverage and \
-       args.max_coverage < args.min_coverage:
+            args.max_coverage < args.min_coverage:
         print("min_coverage > max_coverage!? exiting!", file=sys.stderr)
         sys.exit(1)
 
-    htable = load_countgraph(args.input_count_graph)
-    output_fp = open(args.output_readfile, 'w')
+    graph = load_countgraph(args.input_count_graph)
+    lo, hi = args.min_coverage, args.max_coverage
 
+    n_seen = 0
     n_kept = 0
-    n = 0
-    # batched device path: median from the per-read count arrays
-    for n, (record, counts) in enumerate(
-            counts_for_records(htable, iter_records(args.input_readfile))):
-        if n % 100000 == 0:
-            print('...', n, n_kept, file=sys.stderr)
+    with open(args.output_readfile, "w") as out:
+        for window in record_windows(args.input_readfile, 16384):
+            meds = window_medians(graph, window)
+            for record, med in zip(window, meds):
+                n_seen += 1
+                if n_seen % 100000 == 0:
+                    print("...", n_seen, n_kept, file=sys.stderr)
+                if med < 0:
+                    continue
+                if lo and med < lo:
+                    continue
+                if hi and med > hi:
+                    continue
+                n_kept += 1
+                write_record(record, out)
 
-        if counts.size == 0:
-            continue
-        med = int(sorted(counts.tolist())[len(counts) // 2])
-
-        keep = True
-        if args.min_coverage and med < args.min_coverage:
-            keep = False
-
-        if args.max_coverage and med > args.max_coverage:
-            keep = False
-
-        if keep:
-            n_kept += 1
-            output_fp.write(output_single(record))
-
-    print('consumed %d reads; kept %d' % (n, n_kept), file=sys.stderr)
+    print("consumed %d reads; kept %d" % (n_seen, n_kept),
+          file=sys.stderr)
 
 
-if __name__ == '__main__':
+if __name__ == "__main__":
     main()

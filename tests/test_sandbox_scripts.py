@@ -348,3 +348,100 @@ def test_collect_reads_takes_everything_below_target(tmp_path):
     n_out = sum(1 for line in open(outfile) if line.startswith(">"))
     assert n_out == n_in
     assert "Collected %d reads" % n_in in out
+
+
+# -- round-4 rewrites of the remaining transcription-band scripts --------
+
+def _write_reads(path, n=60, seed=5, length=80):
+    import random
+
+    rng = random.Random(seed)
+    pool = ["".join(rng.choice("ACGT") for _ in range(length))
+            for _ in range(6)]
+    with open(path, "w") as fp:
+        for i in range(n):
+            seq = rng.choice(pool)
+            fp.write(">r%d\n%s\n" % (i, seq))
+    return pool
+
+
+def test_multi_rename(tmp_path):
+    with open(tmp_path / "in.fa", "w") as fp:
+        fp.write(">long\n%s\n>short\nACGT\n" % ("ACGT" * 60))
+    out, _ = run_sandbox("multi-rename.py", ["pre", "in.fa"], tmp_path)
+    lines = out.splitlines()
+    assert lines[0] == ">pre.1 long"
+    assert all(len(l) <= 80 for l in lines[1:])
+    assert "".join(lines[1:]) == "ACGT" * 60
+    assert ">short" not in out  # below the 200bp cutoff
+
+
+def test_shuffle_reverse_rotary(tmp_path):
+    _write_reads(tmp_path / "in.fa", n=205)
+    out, _ = run_sandbox("shuffle-reverse-rotary.py", ["in.fa"],
+                         tmp_path)
+    assert "shuffled 205 sequences" in out
+    # records 1..205: record 1 -> bucket 1%100=1 -> file 100-1=099
+    assert count_fasta(str(tmp_path / "in.fa.099")) == 3  # 1,101,201
+    assert count_fasta(str(tmp_path / "in.fa.100")) == 2  # 100,200
+
+
+def test_calc_median_distribution(tmp_path):
+    _write_reads(tmp_path / "in.fa")
+    from khmer_tpu import Countgraph
+
+    g = Countgraph(17, 1e5, 4)
+    g.consume_seqfile(str(tmp_path / "in.fa"))
+    g.save(str(tmp_path / "g.ct"))
+    run_sandbox("calc-median-distribution.py",
+                ["g.ct", "in.fa", "hist.out"], tmp_path)
+    rows = [l.split() for l in open(tmp_path / "hist.out")]
+    assert len(rows) == 65536
+    assert sum(int(r[1]) for r in rows) == 60
+    assert abs(float(rows[-1][3]) - 1.0) < 1e-6
+
+
+def test_slice_reads_by_coverage(tmp_path):
+    _write_reads(tmp_path / "in.fa")
+    from khmer_tpu import Countgraph
+
+    g = Countgraph(17, 1e5, 4)
+    g.consume_seqfile(str(tmp_path / "in.fa"))
+    g.save(str(tmp_path / "g.ct"))
+    out, err = run_sandbox(
+        "slice-reads-by-coverage.py",
+        ["-m", 1, "-M", 1000, "g.ct", "in.fa", "kept.fa"], tmp_path)
+    assert count_fasta(str(tmp_path / "kept.fa")) == 60
+    out, err = run_sandbox(
+        "slice-reads-by-coverage.py",
+        ["-m", 100000, "g.ct", "in.fa", "none.fa"], tmp_path)
+    assert count_fasta(str(tmp_path / "none.fa")) == 0
+
+
+def test_stoptag_abundance_hist(tmp_path):
+    pool = _write_reads(tmp_path / "in.fa")
+    from khmer_tpu import Countgraph
+
+    g = Countgraph(17, 1e5, 4)
+    g.consume_seqfile(str(tmp_path / "in.fa"))
+    g.save(str(tmp_path / "g.ct"))
+    with open(tmp_path / "kmers.txt", "w") as fp:
+        fp.write(pool[0][:17] + "\n")
+    run_sandbox("stoptag-abundance-hist.py",
+                ["g.ct", "kmers.txt", "fig"], tmp_path)
+    rows = [l.split() for l in open(tmp_path / "fig.countshist")]
+    assert len(rows) == 1 and int(rows[0][1]) == 1
+
+
+def test_graph_size_filter(tmp_path):
+    import random
+
+    rng = random.Random(11)
+    big = "".join(rng.choice("ACGT") for _ in range(700))
+    small = "".join(rng.choice("ACGT") for _ in range(40))
+    with open(tmp_path / "in.fa", "w") as fp:
+        fp.write(">big\n%s\n>small\n%s\n" % (big, small))
+    out, _ = run_sandbox("graph-size.py", ["in.fa", "out.fa"], tmp_path)
+    names = [l[1:].split()[0] for l in open(tmp_path / "out.fa")
+             if l.startswith(">")]
+    assert names == ["big"]
