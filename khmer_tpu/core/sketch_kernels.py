@@ -52,7 +52,7 @@ def _u64(x):
 # --------------------------------------------------------------------------
 
 
-def _dedup_batch(hashes, valid):
+def _dedup_batch(hashes, valid, idx=None):
     """Sort + dedup a batch of hashes preserving batch-order information.
 
     Returns dict with, per "unique slot" (M slots; inactive padded):
@@ -60,9 +60,15 @@ def _dedup_batch(hashes, valid):
       ucnt     [M] i32   occurrences in batch (0 for inactive slots)
       ufirst   [M] i32   smallest batch index among occurrences
       uvalid   [M] bool  slot active
+
+    `idx` overrides the per-event order key (default: position in the
+    batch) — the routed sharded consume passes GLOBAL stream indices so
+    first-toucher credits stay sequential-exact after an all_to_all
+    reshuffle (parallel/sharded.py).
     """
     M = hashes.shape[0]
-    idx = jnp.arange(M, dtype=jnp.int32)
+    if idx is None:
+        idx = jnp.arange(M, dtype=jnp.int32)
     inv = jnp.where(valid, jnp.int32(0), jnp.int32(1))
     inv_s, h_s, idx_s = jax.lax.sort((inv, hashes, idx), num_keys=2)
     v_s = inv_s == 0

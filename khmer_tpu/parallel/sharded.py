@@ -44,13 +44,24 @@ def _pad_to(n, m):
 
 
 class ShardedCountgraph:
-    """Countgraph with bucket-range-sharded tables over a device mesh."""
+    """Countgraph with bucket-range-sharded tables over a device mesh.
+
+    With ``route=True`` events travel to their per-table bucket-range
+    owner over an ICI ``all_to_all`` (one collective carrying all
+    n_tables sub-streams), so each device sorts and scatters only
+    ~n_tables/D of the stream instead of running the full-stream dedup
+    replicated (SURVEY §2.9 "all-to-all route (hash->owner chip) then
+    local scatter-add" — for the exact layout too, matching the
+    reference's banding decomposition kmer_hash.cc:261-275). Route
+    capacity is ``slack * local/D`` per (table, src, dst) triple;
+    overflow sets a sticky flag and raises — never undercounts.
+    """
 
     storage_kind = "byte"
     hash_family = "twobit"
 
     def __init__(self, ksize, starting_size, n_tables, mesh,
-                 primes=None):
+                 primes=None, route=False, route_slack=2.0):
         self.mesh = mesh
         self.D = mesh.devices.size
         self._ksize = int(ksize)
@@ -61,11 +72,14 @@ class ShardedCountgraph:
         # shard boundaries: table t device d owns [d*S_t, (d+1)*S_t)
         self._shard_sizes = tuple(_pad_to(p, self.D) // self.D
                                   for p in self._primes)
+        self.route = bool(route) and self.D > 1
+        self.route_slack = float(route_slack)
         sharding = NamedSharding(mesh, P(AXIS))
         self.tables = tuple(
             jax.device_put(jnp.zeros(s * self.D, jnp.uint8), sharding)
             for s in self._shard_sizes)
         self._n_unique = jnp.zeros((), jnp.uint64)
+        self._overflow = jnp.zeros((), bool)
 
     def ksize(self):
         return self._ksize
@@ -74,20 +88,38 @@ class ShardedCountgraph:
         return list(self._primes)
 
     def n_unique_kmers(self):
+        self._check_route_overflow()
         return int(self._n_unique)
+
+    def _check_route_overflow(self):
+        if self.route and bool(self._overflow):
+            raise RuntimeError(
+                "all_to_all route capacity overflow (skewed k-mer "
+                "stream): rebuild with route=False or a larger "
+                "route_slack")
 
     def consume_chunk(self, codes, starts, nfill):
         """Commit one flat chunk (see pipeline.FlatPacker) to the
         sharded tables."""
-        fn = make_sharded_consume(self._primes, self._shard_sizes,
-                                  self._ksize, len(codes), self.mesh)
+        if self.route:
+            fn = make_sharded_consume_routed(
+                self._primes, self._shard_sizes, self._ksize,
+                len(codes), self.mesh, self.route_slack)
+        else:
+            fn = make_sharded_consume(self._primes, self._shard_sizes,
+                                      self._ksize, len(codes), self.mesh)
         sharding = NamedSharding(self.mesh, P(AXIS))
         codes = jax.device_put(jnp.asarray(codes), sharding)
         starts = jax.device_put(jnp.asarray(starts),
                                 NamedSharding(self.mesh, P()))
-        self.tables, self._n_unique, n_cons = fn(
-            self.tables, self._n_unique, codes, starts,
-            jnp.int32(nfill))
+        if self.route:
+            (self.tables, self._n_unique, self._overflow,
+             n_cons) = fn(self.tables, self._n_unique, self._overflow,
+                          codes, starts, jnp.int32(nfill))
+        else:
+            self.tables, self._n_unique, n_cons = fn(
+                self.tables, self._n_unique, codes, starts,
+                jnp.int32(nfill))
         return int(n_cons)
 
     def get_counts(self, hashes):
@@ -164,6 +196,115 @@ def make_sharded_consume(primes, shard_sizes, k, chunk, mesh):
             out_specs=(tuple(P(AXIS) for _ in primes), P(), P()),
             check_vma=False,
         )(tables, n_unique, codes, starts, nfill)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_consume_routed(primes, shard_sizes, k, chunk, mesh,
+                                slack):
+    """all_to_all-routed exact-layout consume.
+
+    Each device hashes its stream slice, then ships every event to the
+    bucket-range owner of EACH prime table (n_tables sub-streams in
+    one all_to_all). Owners dedup only what they receive — with the
+    events' GLOBAL stream indices as the order key, so the per-bin
+    first-toucher credit (reference ByteStorage::add zero-bin rule,
+    storage.hh:571-624) is identical to the serial pass. Per-event
+    credits are joined with the same W-length psum-OR as the gathered
+    path.
+    """
+    D = mesh.devices.size
+    T = len(primes)
+    local = chunk // D
+    W = chunk - k + 1
+    C = -(-int(local * slack) // D)     # per (table, src, dst) capacity
+
+    def step(tables, n_unique, overflow, codes, starts, nfill):
+        def body(tables, n_unique, overflow, codes_local, starts, nfill):
+            d_idx = jax.lax.axis_index(AXIS)
+            halo = jax.lax.ppermute(
+                codes_local[: k - 1], AXIS,
+                [(i, (i - 1) % D) for i in range(D)])
+            ext = jnp.concatenate([codes_local, halo])
+            _, f, r = H.rolling_hash_windows(ext[None, :], k)
+            local_h = jnp.minimum(f, r)[0][:local]
+
+            gidx = d_idx * local + jnp.arange(local, dtype=jnp.int32)
+            # no read start may fall in (gidx, gidx+k-1]; starts is
+            # small and sorted, so two searchsorteds beat a
+            # chunk-length cumsum (replicated per-device work that
+            # cannot shrink with D)
+            n_le_hi = jnp.searchsorted(starts, gidx + (k - 1),
+                                       side="right")
+            n_le_lo = jnp.searchsorted(starts, gidx, side="right")
+            valid = (n_le_hi == n_le_lo) & (gidx < W) & \
+                (gidx + (k - 1) < nfill)
+
+            # one send buffer carrying all T sub-streams: slot layout
+            # per destination row is [t0: C][t1: C]...[tT-1: C]
+            send_h = jnp.zeros(D * T * C, jnp.uint64)
+            send_i = jnp.full(D * T * C, jnp.int32(W))
+            over_any = jnp.zeros((), bool)
+            for t, p in enumerate(primes):
+                S = shard_sizes[t]
+                bins = local_h % np.uint64(p)
+                owner = jnp.where(
+                    valid, (bins // np.uint64(S)).astype(jnp.int32),
+                    jnp.int32(D))
+                onehot = owner[:, None] == jnp.arange(D, dtype=jnp.int32)
+                rank = jnp.sum(jnp.where(
+                    onehot, jnp.cumsum(onehot.astype(jnp.int32),
+                                       axis=0) - 1, 0), axis=1)
+                over = valid & (rank >= C)
+                over_any = over_any | jnp.any(over)
+                slot = jnp.where(valid & ~over,
+                                 owner * (T * C) + t * C + rank,
+                                 jnp.int32(D * T * C))
+                send_h = send_h.at[slot].set(local_h, mode="drop")
+                send_i = send_i.at[slot].set(gidx, mode="drop")
+            overflow = overflow | (jax.lax.psum(
+                over_any.astype(jnp.int32), AXIS) > 0)
+
+            routed_h = jax.lax.all_to_all(
+                send_h.reshape(D, T * C), AXIS, 0, 0,
+                tiled=False).reshape(D, T, C)
+            routed_i = jax.lax.all_to_all(
+                send_i.reshape(D, T * C), AXIS, 0, 0,
+                tiled=False).reshape(D, T, C)
+
+            credit_W = jnp.zeros(W + 1, bool)
+            new_tables = []
+            for t, p in enumerate(primes):
+                S = shard_sizes[t]
+                lo = (d_idx * S).astype(jnp.uint64)
+                h_t = routed_h[:, t, :].reshape(D * C)
+                i_t = routed_i[:, t, :].reshape(D * C)
+                v_t = i_t < W
+                d = K._dedup_batch(h_t, v_t, idx=i_t)
+                tbl, _old_u, credit_u = K._byte_table_update(
+                    tables[t], p, d, lo=lo, span=S)
+                new_tables.append(tbl)
+                # credit lands at the hash's first global stream index
+                credit_W = credit_W.at[
+                    jnp.where(credit_u, d["ufirst"], jnp.int32(W))
+                ].set(True, mode="drop")
+            any_credit = jax.lax.psum(
+                credit_W[:W].astype(jnp.int32), AXIS) > 0
+            n_unique = n_unique + jnp.sum(
+                any_credit.astype(jnp.uint32)).astype(jnp.uint64)
+            n_cons = jax.lax.psum(
+                jnp.sum(valid.astype(jnp.uint32)), AXIS
+            ).astype(jnp.uint64)
+            return tuple(new_tables), n_unique, overflow, n_cons
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(tuple(P(AXIS) for _ in primes), P(), P(),
+                      P(AXIS), P(), P()),
+            out_specs=(tuple(P(AXIS) for _ in primes), P(), P(), P()),
+            check_vma=False,
+        )(tables, n_unique, overflow, codes, starts, nfill)
 
     return jax.jit(step, donate_argnums=(0,))
 
@@ -359,13 +500,14 @@ def make_sharded_blocked_consume_routed(nblocks, shard, k, chunk, mesh,
             # global predicates; evaluate them for my index range
             gidx = d_idx * local + jnp.arange(local, dtype=jnp.int32)
             # rid from global starts (starts replicated, values global)
-            rid_hit = jnp.zeros(chunk, jnp.int32).at[starts].add(
-                1, mode="drop")
-            rid = jnp.cumsum(rid_hit)
-            rid_lo = rid.at[gidx].get(mode="fill", fill_value=0)
-            rid_hi = rid.at[gidx + (k - 1)].get(mode="fill",
-                                                fill_value=-1)
-            valid = (rid_lo == rid_hi) & (gidx < W) & \
+            # no read start may fall in (gidx, gidx+k-1]; starts is
+            # small and sorted, so two searchsorteds beat a
+            # chunk-length cumsum (replicated per-device work that
+            # cannot shrink with D)
+            n_le_hi = jnp.searchsorted(starts, gidx + (k - 1),
+                                       side="right")
+            n_le_lo = jnp.searchsorted(starts, gidx, side="right")
+            valid = (n_le_hi == n_le_lo) & (gidx < W) & \
                 (gidx + (k - 1) < nfill)
 
             block = (local_h % np.uint64(NB)).astype(jnp.int32)

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Mesh scaling measurement — writes SCALING_r04.json.
+
+Times the sharded consume kernels (exact + blocked layouts, gathered
+vs all_to_all-routed) and the distributed membership probe (broadcast
+vs routed) at D = 1, 2, 4, 8 on the virtual CPU mesh, on a FIXED total
+workload.  What this measures is *work scaling*: with the workload
+fixed, the total kernel work of a well-sharded step is constant in D
+(each device handles 1/D), so wall time on a fixed host should stay
+flat as D grows — while a replicated design (all_gather + full-stream
+dedup per device) does D times the work and its wall time grows ~D.
+``efficiency`` below is t(D=1)/t(D): >= 0.8 at D=8 means the routed
+path sheds >= 80% of the per-device work the mesh should shed
+(BASELINE.md's scaling-efficiency north star, measured the only way a
+single host can).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
+import numpy as np
+
+
+def _sync(x):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+        else a, x)
+
+
+def time_step(fn, args, reps=8):
+    out = _sync(fn(*args))
+    t0 = time.time()
+    for _ in range(reps):
+        out = _sync(fn(*args))
+    return (time.time() - t0) / reps, out
+
+
+def bench_consume(D_list):
+    import jax
+    import jax.numpy as jnp
+
+    from khmer_tpu.parallel import sharded
+
+    chunk = 1 << 19
+    k = 20
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, chunk, dtype=np.uint8)
+    starts = np.arange(0, chunk, 150, dtype=np.int32)
+    spad = np.full(1 << 12, chunk, np.int32)
+    spad[: len(starts)] = starts
+
+    results = {}
+    for name in ("exact_gathered", "exact_routed", "blocked_gathered",
+                 "blocked_routed"):
+        results[name] = {}
+    for D in D_list:
+        mesh = sharded.make_mesh(jax.devices()[:D])
+        for name in results:
+            blocked = name.startswith("blocked")
+            routed = name.endswith("routed")
+            if routed and D == 1:
+                results[name][D] = results[name.replace(
+                    "routed", "gathered")][D]
+                continue
+            if blocked:
+                g = sharded.ShardedBlockedCountgraph(
+                    k, 5e6, 4, mesh, route=routed)
+            else:
+                g = sharded.ShardedCountgraph(
+                    k, 5e6, 4, mesh, route=routed, route_slack=3.0)
+
+            def step(codes_a, starts_a):
+                g.consume_chunk(codes_a, starts_a, chunk)
+                return g.tables
+
+            dt, _ = time_step(step, (codes, spad), reps=5)
+            results[name][D] = round(dt * 1e3, 2)
+            print("D=%d %-18s %8.2f ms" % (D, name, dt * 1e3),
+                  file=sys.stderr)
+    return results
+
+
+def bench_probes(D_list):
+    import jax
+
+    from khmer_tpu import Nodegraph
+    from khmer_tpu.parallel import graph as PG
+    from khmer_tpu.parallel import sharded
+
+    rng = np.random.default_rng(5)
+    reads = ["".join("ATCG"[b] for b in rng.integers(0, 4, 100))
+             for _ in range(400)]
+    g = Nodegraph(20, 2e6, 4)
+    for s in reads:
+        g.consume(s)
+    n = 1 << 13
+    cand = rng.integers(0, 1 << 40, n, dtype=np.uint64)
+
+    out = {"broadcast": {}, "routed": {}}
+    for D in D_list:
+        mesh = sharded.make_mesh(jax.devices()[:D])
+        for mode in ("broadcast", "routed"):
+            sg = PG.ShardedNodegraph(g, mesh, route=(mode == "routed"))
+            if mode == "routed" and D == 1:
+                out[mode][D] = out["broadcast"][D]
+                continue
+
+            def probe(c):
+                return sg.get_counts_for_hashes(c)
+
+            dt, res = time_step(probe, (cand,), reps=10)
+            out[mode][D] = round(dt * 1e3, 2)
+            print("D=%d probe %-10s %8.2f ms" % (D, mode, dt * 1e3),
+                  file=sys.stderr)
+    return out
+
+
+def main():
+    D_list = [1, 2, 4, 8]
+    results = {
+        "workload": "fixed 512Ki-base chunk (consume) / 8Ki candidates "
+                    "(probe); t(D) flat == ideal work scaling",
+        "consume_ms": bench_consume(D_list),
+        "probe_ms": bench_probes(D_list),
+    }
+    for fam in ("consume_ms", "probe_ms"):
+        eff1 = {}
+        eff2 = {}
+        for name, times in results[fam].items():
+            if 1 in times and 8 in times and times[8]:
+                eff1[name] = round(times[1] / times[8], 3)
+            if 2 in times and 8 in times and times[8]:
+                # routed paths pay a constant routing tax vs D=1;
+                # t(2)/t(8) isolates how per-device work scales as the
+                # mesh grows (flat == ideal on a fixed-core host)
+                eff2[name] = round(times[2] / times[8], 3)
+        results[fam.replace("_ms", "_efficiency_d1_d8")] = eff1
+        results[fam.replace("_ms", "_efficiency_d2_d8")] = eff2
+    out = os.path.join(REPO, "SCALING_r04.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    print(json.dumps({"wrote": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,3 +137,60 @@ def test_sharded_blocked_matches_single_device(mesh):
     local = graph.to_local()
     np.testing.assert_array_equal(np.asarray(local.tables[0]),
                                   np.asarray(oracle.tables[0]))
+
+
+def test_sharded_routed_exact_matches_oracle(mesh):
+    """all_to_all-routed exact-layout consume == serial oracle
+    (counts, n_unique) — the routed analog of the banding test."""
+    k = 8
+    chunk = 1 << 12
+    rng = np.random.default_rng(11)
+    reads = ["".join("ATCG"[b] for b in rng.integers(0, 4, 60))
+             for _ in range(50)]
+    reads = reads + reads[:20]  # duplicates: counts > 1 + credit races
+
+    packer = pipeline.FlatPacker(k, chunk=chunk)
+    chunks = []
+    for seq in reads:
+        chunks.extend(packer.add(seq))
+    tail = packer.flush()
+    if tail is not None:
+        chunks.append(tail)
+
+    graph = sharded.ShardedCountgraph(k, 2048, 3, mesh, route=True,
+                                      route_slack=4.0)
+    oracle = Countgraph(k, 1, 0, primes=graph._primes)
+    for codes, starts, nfill in chunks:
+        graph.consume_chunk(codes, starts, nfill)
+    for seq in reads:
+        oracle.consume(seq)
+
+    all_hashes = np.unique(np.concatenate(
+        [oracle._hashes_for_sequence(s) for s in reads]))
+    pad = ((len(all_hashes) + 255) // 256) * 256
+    hp = np.zeros(pad, dtype=np.uint64)
+    hp[: len(all_hashes)] = all_hashes
+    got = graph.get_counts(hp)[: len(all_hashes)]
+    want = oracle.get_counts_for_hashes(all_hashes)
+    np.testing.assert_array_equal(got, want)
+    assert graph.n_unique_kmers() == oracle.n_unique_kmers()
+
+
+def test_sharded_routed_overflow_raises(mesh):
+    """A pathologically skewed stream (one repeated k-mer) overflows
+    the fixed route capacity and must RAISE, never undercount."""
+    k = 8
+    chunk = 1 << 12
+    packer = pipeline.FlatPacker(k, chunk=chunk)
+    chunks = []
+    for _ in range(4):
+        chunks.extend(packer.add("ACGTACGT" * 64))
+    tail = packer.flush()
+    if tail is not None:
+        chunks.append(tail)
+    graph = sharded.ShardedCountgraph(k, 2048, 3, mesh, route=True,
+                                      route_slack=0.05)
+    for codes, starts, nfill in chunks:
+        graph.consume_chunk(codes, starts, nfill)
+    with pytest.raises(RuntimeError, match="route capacity"):
+        graph.n_unique_kmers()
