@@ -142,6 +142,8 @@ def use_host_for(sketch, op="graph"):
         return False
     if not available():
         return False
+    if getattr(sketch, "mesh", None) is not None:
+        return False  # mesh-sharded facade: stay on the device tier
     if sketch.storage_kind not in KIND:
         return False
     if op in ("graph", "diginorm", "trim") and \
