@@ -177,6 +177,9 @@ class ReadAligner:
         # per-node device .get() costs a full dispatch round-trip; the
         # aligner treats the graph as read-only during a search
         self._count_cache = {}
+        self._host_tabs = None   # lazy host table mirror (see
+        #                          _host_gather); False = unsupported
+        self._trans66 = None     # native-engine transition table cache
 
     # -- neighbor hash math (2-bit next/prev, hashgraph.hh:67-71) --------
 
@@ -192,25 +195,60 @@ class ReadAligner:
         nr = ((rc << 2) | (code ^ 1)) & self._bitmask
         return nf, nr
 
+    def _host_gather(self, canons):
+        """Counts straight off the host table mirror — the A* expands
+        one node at a time, and a per-node device round trip costs
+        more than the entire alignment (~95 ms on a tunneled TPU).
+        Returns None when the storage kind has no host gather."""
+        if self._host_tabs is False:
+            return None
+        if self._host_tabs is None:
+            g = self.graph
+            if getattr(g, "storage_kind", None) not in ("byte", "nibble"):
+                self._host_tabs = False
+                return None
+            self._host_tabs = (g.host_view(), tuple(g._primes),
+                               g.storage_kind)
+        tabs, primes, kind = self._host_tabs
+        out = []
+        for c in canons:
+            m = 255 if kind == "byte" else 15
+            for t, p in zip(tabs, primes):
+                bin_ = c % p
+                if kind == "byte":
+                    v = int(t[bin_])
+                else:
+                    byte = int(t[bin_ >> 1])
+                    v = (byte & 0x0F) if (bin_ & 1) else (byte >> 4)
+                if v < m:
+                    m = v
+            if m == 255 and getattr(self.graph, "_use_bigcount", False):
+                m = self.graph._bigcounts.get(c, m)
+            out.append(m)
+        return out
+
     def _count(self, fwd, rc):
         c = min(fwd, rc)
         v = self._count_cache.get(c)
         if v is None:
-            v = int(self.graph.get(c))
+            host = self._host_gather([c])
+            v = host[0] if host is not None else int(self.graph.get(c))
             self._count_cache[c] = v
         return v
 
     def _counts4(self, pairs):
-        """Counts for the four candidate neighbors in ONE device call
-        (cache misses batched)."""
+        """Counts for the four candidate neighbors — host-mirror gather
+        when available, else ONE device call (cache misses batched)."""
         import numpy as np
 
         canons = [min(f, r) for f, r in pairs]
         missing = sorted({c for c in canons
                           if c not in self._count_cache})
         if missing:
-            vals = self.graph.get_counts_for_hashes(
-                np.asarray(missing, dtype=np.uint64))
+            vals = self._host_gather(missing)
+            if vals is None:
+                vals = self.graph.get_counts_for_hashes(
+                    np.asarray(missing, dtype=np.uint64))
             for c, v in zip(missing, vals):
                 self._count_cache[c] = int(v)
         return [self._count_cache[c] for c in canons]
@@ -293,7 +331,113 @@ class ReadAligner:
                     heapq.heappush(open_heap,
                                    (-node.f_score, counter[0], node))
 
+    def _native_subalign(self, start_node, seq_len, forward, seq):
+        """The A* sub-search on the native host tier (hg_subalign in
+        src/hostgraph.cc) — identical scores/tie-breaking, ~100x the
+        node throughput of the Python engine. Returns None when the
+        native library or storage kind can't serve it."""
+        from khmer_tpu.core import hostengine
+
+        g = self.graph
+        if not hostengine.available():
+            return None
+        if getattr(g, "storage_kind", None) not in ("byte", "nibble"):
+            return None
+        if getattr(g, "_use_bigcount", False):
+            return None  # covs above 255 need the host-Python fixup
+        import ctypes
+
+        import numpy as np
+
+        lib = hostengine._load()
+        tabs, ptrs, primes_p, _keep = hostengine._view_args(g)
+        kind = hostengine.KIND[g.storage_kind]
+        if self._trans66 is None:
+            t66 = np.full(36, DISALLOWED, dtype=np.int8)
+            for (s1, s2), tr in _TRANS_TABLE.items():
+                t66[s1 * 6 + s2] = tr
+            self._trans66 = t66
+            self._tsc29 = np.zeros(29, dtype=np.float64)
+            self._tsc29[: len(self.tsc)] = self.tsc
+            self._sc4 = np.asarray(
+                [self.trusted_match, self.trusted_mismatch,
+                 self.untrusted_match, self.untrusted_mismatch],
+                dtype=np.float64)
+        codes = np.asarray([_CODE.get(ch, 255) for ch in seq],
+                           dtype=np.uint8)
+        cap = 4096
+        while True:
+            st = np.empty(cap, np.uint8)
+            ba = np.empty(cap, np.uint8)
+            si = np.empty(cap, np.int32)
+            tr = np.empty(cap, np.uint8)
+            cv = np.empty(cap, np.uint16)
+            best_score = ctypes.c_double(0.0)
+            trunc = ctypes.c_int(1)
+            n = lib.hg_subalign(
+                kind, ptrs, primes_p, len(tabs),
+                self._k, self.trusted_cutoff,
+                float(self.bits_theta),
+                self._tsc29.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)),
+                self._sc4.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)),
+                self._trans66.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int8)),
+                codes.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)),
+                len(seq),
+                int(start_node.fwd), int(start_node.rc),
+                int(start_node.seq_idx), float(start_node.score),
+                1 if forward else 0,
+                st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                si.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                tr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                cap, ctypes.byref(best_score), ctypes.byref(trunc))
+            if n >= 0:
+                break
+            cap *= 4
+        # assemble the Alignment exactly like _extract_alignment
+        ret = Alignment()
+        ret.score = best_score.value
+        ret.truncated = bool(trunc.value)
+        graph_alignment = []
+        read_alignment = []
+        trusted = []
+        covs = []
+        for i in range(int(n)):     # chain order: best -> root
+            state = int(st[i])
+            if state in (MATCH, MATCH_UNTRUSTED):
+                graph_base = _NUCL[ba[i]]
+                read_base = seq[si[i]]
+            elif state in (INSERT_READ, INSERT_READ_UNTRUSTED):
+                graph_base = "-"
+                read_base = seq[si[i]].lower()
+            else:
+                graph_base = _NUCL[ba[i]].lower()
+                read_base = "-"
+            if forward:
+                graph_alignment.insert(0, graph_base)
+                read_alignment.insert(0, read_base)
+                trusted.insert(0, "T" if tr[i] else "F")
+                covs.insert(0, int(cv[i]))
+            else:
+                graph_alignment.append(graph_base)
+                read_alignment.append(read_base)
+                trusted.append("T" if tr[i] else "F")
+        ret.graph_alignment = "".join(graph_alignment)
+        ret.read_alignment = "".join(read_alignment)
+        ret.trusted = "".join(trusted)
+        ret.covs = covs
+        return ret
+
     def _subalign(self, start_node, seq_len, forward, seq):
+        native = self._native_subalign(start_node, seq_len, forward,
+                                       seq)
+        if native is not None:
+            return native
         open_heap = []
         counter = [0]
         heapq.heappush(open_heap, (-start_node.f_score, 0, start_node))
@@ -404,14 +548,21 @@ class ReadAligner:
             return _empty_alignment()
         num_kmers = len(read) - k + 1
 
-        best_idx, best_cov, best_kmer = 0, 0, None
-        for i in range(num_kmers):
-            kmer = read[i:i + k]
-            cov = self.graph.get(kmer)
-            if cov > best_cov:
-                best_idx, best_cov, best_kmer = i, cov, kmer
+        # seed = first highest-coverage k-mer; ONE bulk count gather
+        # (host mirror when available) instead of a device call per
+        # window (read_aligner.cc:558-570)
+        import numpy as np
+
+        hashes = self.graph._hashes_for_sequence(read)
+        covs = self._host_gather([int(h) for h in hashes])
+        if covs is None:
+            covs = [int(c) for c in
+                    self.graph.get_counts_for_hashes(hashes)]
+        best_idx = int(np.argmax(covs)) if covs else 0
+        best_cov = covs[best_idx] if covs else 0
         if best_cov == 0:
             return _empty_alignment()
+        best_kmer = read[best_idx:best_idx + k]
 
         _, fhash, rhash = H._hash_scalar(best_kmer, k)
 

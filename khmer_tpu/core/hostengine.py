@@ -118,6 +118,21 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         _u64p, ctypes.c_longlong, _i64p]
 
+    _dbl = ctypes.c_double
+    _dblp = ctypes.POINTER(_dbl)
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    _u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.hg_subalign.restype = ctypes.c_longlong
+    lib.hg_subalign.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, _dbl,
+        _dblp, _dblp, _i8p,
+        _u8p, ctypes.c_longlong,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_longlong,
+        _dbl, ctypes.c_int,
+        _u8p, _u8p, _i32p, _u8p, _u16p, ctypes.c_longlong,
+        _dblp, ctypes.POINTER(ctypes.c_int)]
+
     lib.hg_median_counts.restype = None
     lib.hg_median_counts.argtypes = [
         ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,

@@ -25,6 +25,8 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <queue>
 #include <thread>
 #include <vector>
 
@@ -831,6 +833,237 @@ long long hg_find_all_tags_range(
     }
     out_offsets[n_starts] = pos;
     return pos;
+}
+
+// ---------------------------------------------------------------------
+// graph-guided HMM read alignment: the A* sub-search of the reference
+// ReadAligner (src/oxli/read_aligner.cc:60-257), one node expansion at
+// a time against the host table mirror.  Scores, tie-breaking (FIFO on
+// equal f-scores) and the closed-set-by-f-score quirk replicate the
+// Python engine in khmer_tpu/core/aligner.py bit for bit — Python
+// passes its own transition constants in, and both sides accumulate
+// doubles in the same order.
+}  // extern "C"
+
+namespace {
+
+constexpr int A_MATCH = 0, A_INS_READ = 1, A_INS_GRAPH = 2;
+constexpr int A_MATCH_U = 3, A_INS_READ_U = 4, A_INS_GRAPH_U = 5;
+constexpr int A_DISALLOWED = 28;
+
+struct ANode {
+    int prev;
+    int seq_idx;
+    int length;
+    int num_indels;
+    uint64_t fwd, rc;
+    double score, f_score;
+    uint16_t cov;
+    uint8_t base, state, trusted;
+};
+
+struct HeapEnt {
+    double f;
+    long long counter;
+    int node;
+};
+struct HeapLess {
+    bool operator()(const HeapEnt& a, const HeapEnt& b) const {
+        if (a.f != b.f) return a.f < b.f;         // pop max f first
+        return a.counter > b.counter;             // ties: FIFO
+    }
+};
+
+struct AlignScratch {
+    std::vector<ANode> arena;
+    std::priority_queue<HeapEnt, std::vector<HeapEnt>, HeapLess> heap;
+    std::map<double, std::pair<double, int>> closed;
+};
+
+inline double a_null(int length) {
+    return std::log2(0.25) * length + std::log2(1.0 / (length + 1));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Runs one sub-alignment.  trans6x6: 36 int8 transition codes
+// (state,state)->tsc index or 28=disallowed.  tsc: 29 doubles.
+// scoring: [trusted_match, trusted_mismatch, untrusted_match,
+// untrusted_mismatch].  seq_codes: 2-bit codes of the read.
+// Path out (best -> root, root excluded): state/base/seq_idx/trusted/
+// cov arrays of capacity path_cap.  Returns path length (>=0), or -1
+// if path_cap too small.  best_score/truncated via pointers.
+long long hg_subalign(
+    int kind, uint8_t** tables, const uint64_t* primes, int n_tables,
+    int k, int trusted_cutoff, double bits_theta,
+    const double* tsc, const double* scoring, const int8_t* trans6x6,
+    const uint8_t* seq_codes, long long seq_len,
+    uint64_t start_f, uint64_t start_r, long long start_seq_idx,
+    double start_score, int forward,
+    uint8_t* out_state, uint8_t* out_base, int32_t* out_seq_idx,
+    uint8_t* out_trusted, uint16_t* out_cov, long long path_cap,
+    double* best_score, int* truncated_out) {
+    Tables T{kind, n_tables, tables, primes};
+    const double trusted_match = scoring[0];
+    const double trusted_mismatch = scoring[1];
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int shift = 2 * k - 2;
+    static const uint8_t kCode[4] = {0, 2, 3, 1};  // ACGT -> 2-bit
+
+    AlignScratch S;
+    S.arena.reserve(1024);
+    ANode root{};
+    root.prev = -1;
+    root.seq_idx = (int)start_seq_idx;
+    root.length = k;
+    root.fwd = start_f;
+    root.rc = start_r;
+    root.score = start_score;
+    root.f_score = 0.0;
+    root.state = A_MATCH;
+    S.arena.push_back(root);
+    S.heap.push({0.0, 0, 0});
+    long long counter = 0;
+    int best = -1;
+
+    const double mm_step = tsc[0] /*MM*/ + trusted_match;
+
+    while (!S.heap.empty()) {
+        HeapEnt top = S.heap.top();
+        S.heap.pop();
+        int ci = top.node;
+        double c_score = S.arena[ci].score;
+        int c_len = S.arena[ci].length;
+        int c_seq = S.arena[ci].seq_idx;
+
+        if (best < 0 ||
+            S.arena[best].score - a_null(S.arena[best].length) <
+                c_score - a_null(c_len)) {
+            best = ci;
+        }
+        if (c_seq == (int)seq_len - 1 || c_seq == 0) {
+            best = ci;
+            break;
+        }
+
+        double key = S.arena[ci].f_score;
+        auto it = S.closed.find(key);
+        int times_closed = 0;
+        if (it != S.closed.end()) {
+            if (it->second.first >= c_score) {
+                times_closed = it->second.second;
+                S.closed.erase(it);
+            } else {
+                continue;
+            }
+        }
+        if (times_closed > 200) continue;
+        S.closed[key] = {c_score, times_closed + 1};
+
+        // ---- enumerate neighbors ---------------------------------
+        int next_seq_idx, remaining;
+        if (forward) {
+            next_seq_idx = c_seq + 1;
+            if (next_seq_idx >= (int)seq_len) continue;
+            remaining = (int)seq_len - next_seq_idx;
+        } else {
+            next_seq_idx = c_seq - 1;
+            remaining = next_seq_idx;
+        }
+        uint64_t cf = S.arena[ci].fwd, cr = S.arena[ci].rc;
+        uint8_t c_state = S.arena[ci].state;
+        int c_indels = S.arena[ci].num_indels;
+
+        for (int i = 0; i < 4; i++) {
+            uint64_t code = kCode[i];
+            uint64_t nf, nr;
+            if (forward) {
+                nf = ((cf << 2) | code) & mask;
+                nr = (cr >> 2) | ((code ^ 1) << shift);
+            } else {
+                nf = (cf >> 2) | (code << shift);
+                nr = ((cr << 2) | (code ^ 1)) & mask;
+            }
+            uint32_t cov = table_count(T, nf < nr ? nf : nr);
+            if (cov == 0) continue;
+            int s0 = (cov < (uint32_t)trusted_cutoff) ? A_MATCH_U
+                                                      : A_MATCH;
+            int s1 = (cov < (uint32_t)trusted_cutoff) ? A_INS_GRAPH_U
+                                                      : A_INS_GRAPH;
+            for (int ns = s0; ns <= s1; ns++) {
+                int trans = trans6x6[c_state * 6 + ns];
+                double hcost = tsc[trans6x6[ns * 6 + A_MATCH]] +
+                    mm_step * (remaining == 0 ? 0 : remaining - 1);
+                if (trans == A_DISALLOWED) continue;
+
+                double sc;
+                if (ns == A_MATCH || ns == A_MATCH_U) {
+                    sc = (code == seq_codes[next_seq_idx])
+                             ? trusted_match : trusted_mismatch;
+                } else {
+                    sc = 0.0;  // BACKGROUND_PROB
+                }
+
+                ANode n{};
+                n.prev = ci;
+                n.base = (uint8_t)i;
+                if (ns == A_MATCH || ns == A_MATCH_U) {
+                    n.seq_idx = next_seq_idx;
+                    n.fwd = nf; n.rc = nr;
+                    n.length = c_len + 1;
+                    n.num_indels = c_indels;
+                } else if (ns == A_INS_READ || ns == A_INS_READ_U) {
+                    n.seq_idx = next_seq_idx;
+                    n.fwd = cf; n.rc = cr;
+                    n.length = c_len + 1;
+                    n.num_indels = c_indels + 1;
+                } else {
+                    n.seq_idx = c_seq;
+                    n.fwd = nf; n.rc = nr;
+                    n.length = c_len;
+                    n.num_indels = c_indels + 1;
+                }
+                n.state = (uint8_t)ns;
+                n.score = c_score + sc + tsc[trans];
+                n.trusted = cov >= (uint32_t)trusted_cutoff;
+                n.cov = (uint16_t)cov;
+                n.f_score = n.score + hcost;
+
+                if (n.num_indels < 3 &&
+                    n.score - a_null(n.length) >
+                        n.length * bits_theta) {
+                    counter++;
+                    S.arena.push_back(n);
+                    S.heap.push({n.f_score, counter,
+                                 (int)S.arena.size() - 1});
+                }
+            }
+        }
+    }
+
+    if (best < 0) {
+        *best_score = 0.0;
+        *truncated_out = 1;
+        return 0;
+    }
+    *best_score = S.arena[best].score;
+    int bseq = S.arena[best].seq_idx;
+    *truncated_out = (bseq != 0 && bseq != (int)seq_len - 1) ? 1 : 0;
+    long long nsteps = 0;
+    for (int ni = best; ni >= 0 && S.arena[ni].prev >= 0;
+         ni = S.arena[ni].prev) {
+        if (nsteps >= path_cap) return -1;
+        const ANode& nd = S.arena[ni];
+        out_state[nsteps] = nd.state;
+        out_base[nsteps] = nd.base;
+        out_seq_idx[nsteps] = nd.seq_idx;
+        out_trusted[nsteps] = nd.trusted;
+        out_cov[nsteps] = nd.cov;
+        nsteps++;
+    }
+    return nsteps;
 }
 
 // ---------------------------------------------------------------------

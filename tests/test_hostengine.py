@@ -201,3 +201,39 @@ def test_hll_against_python_engine():
             hostengine._arr(ends[s:e], hostengine._i64p), e - s)
     h2._adopt_registers(regs)
     assert h1.estimate_cardinality() == h2.estimate_cardinality()
+
+
+def test_aligner_native_matches_python_engine():
+    """hg_subalign must reproduce the Python A* bit for bit
+    (scores, alignments, truncation) across random reads."""
+    import random
+
+    from khmer_tpu import Countgraph, ReadAligner
+
+    rng = random.Random(51)
+    genome = "".join(rng.choice("ACGT") for _ in range(1500))
+    g = Countgraph(17, 5e4, 4)
+    for _ in range(6):
+        g.consume(genome)
+    al = ReadAligner(g, 2, 1.0)
+    for trial in range(30):
+        i = rng.randrange(0, len(genome) - 80)
+        s = list(genome[i:i + 80])
+        for _ in range(rng.randrange(0, 4)):
+            j = rng.randrange(80)
+            s[j] = rng.choice("ACGT")
+        if rng.random() < 0.3:  # an indel now and then
+            j = rng.randrange(78)
+            del s[j]
+        read = "".join(s)
+
+        native = al.align(read)
+
+        real = al._native_subalign
+        al._native_subalign = lambda *a, **k: None
+        try:
+            al._count_cache.clear()
+            python = al.align(read)
+        finally:
+            al._native_subalign = real
+        assert native == python, (trial, read, native, python)
