@@ -13,10 +13,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 vs_baseline is measured against khmer's C++ single-thread counting rate
-(~3.0e6 k-mers/s for Countgraph consume on comparable hardware; the
-reference publishes no numbers in-repo, see BASELINE.md). Run with
-KHMER_TPU_BENCH_LAYOUT=exact to bench the byte-exact reference layout
-instead.
+on THIS host (3.83e6 k-mers/s: refbench count on 25k.fq.gz, 1,248,896
+k-mers / 0.326 s, re-measured 2026-08-20; multi-thread runs are SLOWER
+here — atomics contention). Run with KHMER_TPU_BENCH_LAYOUT=exact to
+bench the byte-exact reference layout instead.
 """
 
 import json
@@ -36,7 +36,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 DATA = os.path.join(REPO, "data", "25k.fq.gz")
 K = 20
-KHMER_CPU_BASELINE = 3.0e6  # k-mers/s, single-thread C++ reference
+KHMER_CPU_BASELINE = 3.83e6  # k-mers/s, single-thread C++ reference
+#                              (tests/golden/refbench.cc on this host)
 
 
 def main():

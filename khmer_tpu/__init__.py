@@ -34,6 +34,28 @@ if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu" \
     except Exception:
         pass
 
+# Persistent compile cache: this jax build does NOT honor the
+# JAX_COMPILATION_CACHE_DIR environment variable (the config never
+# picks it up under the site plugin), which silently disabled the
+# cache and cost minutes of recompilation per process on the tunneled
+# TPU. Route the env var — or a per-user default — through the config
+# API, which does work. KHMER_TPU_NO_COMPILE_CACHE=1 opts out.
+if not _os.environ.get("KHMER_TPU_NO_COMPILE_CACHE"):
+    if not jax.config.jax_compilation_cache_dir:
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "khmer_tpu_jax"))
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
+
 __version__ = "0.1.0"
 
 from khmer_tpu.core.sketch import (  # noqa: E402
