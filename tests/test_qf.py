@@ -191,3 +191,35 @@ def test_offset_spill_across_blocks():
     # every key still readable through the structure
     for r in range(20):
         assert qf._query_structure((60 << 8) | r) == 1
+
+
+def test_dense_reference_file_ndistinct_drift_quantified():
+    """gqf's ndistinct_elts undercounts on dense filters (its insert1
+    path skips the increment when the home slot holds an earlier run's
+    spill).  On the dense k20_s10 golden the reference header says 482
+    distinct keys while the filter actually holds 605 — a 20.3%
+    undercount.  This module reports the TRUE count for its own
+    filters, and preserves the reference's (buggy) header on a loaded
+    file so a resave stays byte-identical (core/qf.py:35-41)."""
+    golden, hdr, raw = load_golden("qf_k20_s10")
+    true_distinct = len(golden)
+    ref_reported = hdr["ndistinct"]
+    assert ref_reported < true_distinct           # the gqf undercount
+    drift = (true_distinct - ref_reported) / true_distinct
+    assert 0.15 < drift < 0.25, drift             # pin the magnitude
+
+    # our own build of the same key multiset reports the true count
+    qf = QuotientFilter(hdr["nslots"])
+    for k, c in golden.items():
+        for _ in range(c):
+            qf.insert(k)
+    assert qf.n_unique == true_distinct
+
+    # a loaded reference file keeps the reference's header value
+    # (byte-identical resave contract)
+    import io as _io
+
+    loaded, _ks = QuotientFilter.load(_io.BytesIO(raw[6:]))
+    buf = _io.BytesIO()
+    loaded.save(buf, 20)
+    assert buf.getvalue() == raw[6:]
