@@ -83,7 +83,22 @@ def main():
             if ksize <= len(record.cleaned_seq):
                 yield record
 
+    from khmer_tpu.core import hostengine
     from khmer_tpu.core.sketch import _median_avg_stddev
+
+    if hostengine.use_host_for(countgraph, "trim") and \
+            not countgraph._bigcounts:
+        # host tier: one native median/avg/stddev call per window
+        for window in _windows(cleaned_records(), 16384):
+            codes, starts, ends, _ = hostengine.pack_records(window)
+            med, avg, std = hostengine.median_counts(
+                countgraph, codes, starts, ends)
+            for i, record in enumerate(window):
+                output.writerow([
+                    record.name, int(med[i]),
+                    round(float(avg[i]), 9), round(float(std[i]), 9),
+                    len(record.sequence)])
+        return
 
     for record, counts in pipeline.counts_for_records(countgraph,
                                                       cleaned_records()):
@@ -91,6 +106,17 @@ def main():
         ave, stdev = [round(x, 9) for x in (ave, stdev)]
         output.writerow([record.name, medn, ave, stdev,
                          len(record.sequence)])
+
+
+def _windows(records, size):
+    batch = []
+    for rec in records:
+        batch.append(rec)
+        if len(batch) >= size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
 
 
 if __name__ == '__main__':

@@ -176,8 +176,12 @@ class LinearAssembler:
             return "".join(reversed(chars))
 
 
-def get_simple_label_intersect_filter(src_labels, lh, min_cov=2):
-    """reference kmer_filters.cc (True = reject)."""
+def get_simple_label_intersect_filter(src_labels, lh, min_cov=5):
+    """reference kmer_filters.cc (True = reject); min_cov default 5
+    per kmer_filters.hh:60 — the tip heuristic only fires when the
+    source node carries >= 5 labels (a wrong default of 2 here made
+    the labeled assembler refuse to hop 2-label SNP bubbles; caught
+    by tests/test_dbg_fixtures.py)."""
     src = set(src_labels)
 
     def filt(canon):

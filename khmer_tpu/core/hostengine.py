@@ -67,6 +67,8 @@ def _load():
     lib.hg_set_export.restype = ctypes.c_longlong
     lib.hg_set_export.argtypes = [ctypes.c_void_p, _u64p,
                                   ctypes.c_longlong]
+    lib.hg_set_clear.restype = None
+    lib.hg_set_clear.argtypes = [ctypes.c_void_p]
     lib.hg_set_free.restype = None
     lib.hg_set_free.argtypes = [ctypes.c_void_p]
 
@@ -132,6 +134,13 @@ def _load():
         _dbl, ctypes.c_int,
         _u8p, _u8p, _i32p, _u8p, _u16p, ctypes.c_longlong,
         _dblp, ctypes.POINTER(ctypes.c_int)]
+
+    lib.hg_traverse_from_kmer.restype = ctypes.c_longlong
+    lib.hg_traverse_from_kmer.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, _u64p, ctypes.c_int64,
+        _u64p, ctypes.c_longlong]
 
     lib.hg_median_counts.restype = None
     lib.hg_median_counts.argtypes = [
@@ -500,6 +509,74 @@ def trim_filter(graph, codes, starts, ends, cutoff,
     return trim_at
 
 
+def traverse_from_kmer(graph, start_canon, radius=None, max_count=0,
+                       threshold=0, keeper=None):
+    """Bounded BFS on the host tier (hashgraph.cc:503-570 semantics).
+
+    Returns (count, keeper_set)."""
+    lib = _load()
+    kind = KIND[graph.storage_kind]
+    tabs, ptrs, primes_p, _keep = _view_args(graph)
+    stops = _sorted_u64(graph.stop_tags)
+    cap = 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint64)
+        got = lib.hg_traverse_from_kmer(
+            kind, ptrs, primes_p, len(tabs), graph.ksize(),
+            int(start_canon),
+            -1 if radius is None else int(radius), int(max_count),
+            int(threshold), _arr(stops, _u64p), len(stops),
+            out.ctypes.data_as(_u64p), cap)
+        if got >= 0:
+            break
+        cap = max(cap * 4, -got)
+    found = set(int(v) for v in out[:got])
+    if keeper is not None:
+        keeper.update(found)
+        return int(got), keeper
+    return int(got), found
+
+
+def host_neighbors_batch(graph, f_arr, r_arr):
+    """(nf, nr, ncanon, present) via numpy against the host table
+    mirror — the zero-dispatch analog of graphmixin.neighbors_batch
+    for the per-node traversal paths (sweep_for_tags etc.)."""
+    k = graph.ksize()
+    tabs = graph.host_view()
+    primes = graph._primes
+    kind = graph.storage_kind
+    f = np.asarray(f_arr, dtype=np.uint64).reshape(-1, 1)
+    r = np.asarray(r_arr, dtype=np.uint64).reshape(-1, 1)
+    bitmask = np.uint64((1 << (2 * k)) - 1) if k < 32 else \
+        np.uint64(0xFFFFFFFFFFFFFFFF)
+    shift = np.uint64(2 * k - 2)
+    b = np.arange(4, dtype=np.uint64)[None, :]
+    comp_b = b ^ np.uint64(1)
+    rf = ((f << np.uint64(2)) | b) & bitmask
+    rr = (r >> np.uint64(2)) | (comp_b << shift)
+    lf = (f >> np.uint64(2)) | (b << shift)
+    lr = ((r << np.uint64(2)) | comp_b) & bitmask
+    nf = np.concatenate([rf, lf], axis=1)
+    nr = np.concatenate([rr, lr], axis=1)
+    nc = np.minimum(nf, nr)
+    present = np.ones(nc.shape, bool)
+    flat = nc.ravel()
+    for t, p in zip(tabs, primes):
+        bins = flat % np.uint64(p)
+        if kind == "bit":
+            byte = t[(bins >> np.uint64(3)).astype(np.int64)]
+            bit = (byte >> (bins & np.uint64(7)).astype(np.uint8)) & 1
+            present &= (bit != 0).reshape(nc.shape)
+        elif kind == "byte":
+            present &= (t[bins.astype(np.int64)] != 0).reshape(nc.shape)
+        else:  # nibble
+            byte = t[(bins >> np.uint64(1)).astype(np.int64)]
+            odd = (bins & np.uint64(1)).astype(bool)
+            nib = np.where(odd, byte & 0x0F, byte >> 4)
+            present &= (nib != 0).reshape(nc.shape)
+    return nf, nr, nc, present
+
+
 def median_counts(graph, codes, starts, ends):
     """(median, average, stddev) per read (hashtable.cc:299-328);
     median -1 marks reads shorter than k."""
@@ -517,6 +594,62 @@ def median_counts(graph, codes, starts, ends):
         med.ctypes.data_as(_i32p), avg.ctypes.data_as(_f32p),
         std.ctypes.data_as(_f32p))
     return med, avg, std
+
+
+class LabeledTagConsumer:
+    """Per-read tagged consume with found-tag capture — the labels
+    path (reference labelhash.cc:216-307 tags exactly like
+    consume_sequence_and_tag and links every hit/placed tag to the
+    read's label).  Holds a persistent native tag set across reads;
+    call finish() to write tags/n_unique back to the graph."""
+
+    def __init__(self, graph):
+        self.graph = graph
+        self._lib = _load()
+        self._tabs, self._ptrs, self._primes_p, self._pk = \
+            _tables_args(graph)
+        self._kind = KIND[graph.storage_kind]
+        self._k = graph.ksize()
+        self._tags = NativeSet(init=_sorted_u64(graph.all_tags),
+                               hint=max(64, len(graph.all_tags)))
+        self._found = NativeSet(hint=64)
+        self._uq = ctypes.c_uint64(0)
+        self._oc = ctypes.c_uint64(0)
+        self._sat_n = ctypes.c_longlong(0)
+        self._sat = np.empty(1, dtype=np.uint64)
+        self._track_sat = 0
+        if getattr(graph, "_use_bigcount", False) and \
+                graph.storage_kind == "byte":
+            self._track_sat = 1
+
+    def consume_read(self, seq):
+        """Returns (n_consumed_new, found_tag_array)."""
+        from khmer_tpu.ops import hashing as H
+
+        codes = np.ascontiguousarray(H.encode_dna(seq))
+        starts = np.zeros(1, dtype=np.int64)
+        ends = np.asarray([len(codes)], dtype=np.int64)
+        self._lib.hg_set_clear(self._found._h)
+        sat_cap = (len(codes) + 16) if self._track_sat else 1
+        sat = np.empty(sat_cap, dtype=np.uint64)
+        got = self._lib.hg_consume_block(
+            self._kind, self._ptrs, self._primes_p, len(self._tabs),
+            self._k, _arr(codes, _u8p), _arr(starts, _i64p),
+            _arr(ends, _i64p), 1, 1, self.graph._tag_density,
+            ctypes.c_void_p(self._tags._h),
+            ctypes.c_void_p(self._found._h),
+            self._track_sat, sat.ctypes.data_as(_u64p), sat_cap,
+            ctypes.byref(self._sat_n), ctypes.byref(self._uq),
+            ctypes.byref(self._oc))
+        for h in sat[: self._sat_n.value]:
+            self.graph._bigcount_add(int(h), 1)
+        return int(got), self._found.export()
+
+    def finish(self):
+        self.graph.all_tags = set(int(t) for t in self._tags.export())
+        _bump_unique(self.graph, int(self._uq.value))
+        self._tags.close()
+        self._found.close()
 
 
 class NativeNormalizer:

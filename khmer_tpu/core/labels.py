@@ -52,22 +52,40 @@ class GraphLabels:
     def consume_seqfile_and_tag_with_labels(self, source):
         """Label = read ordinal (reference labelhash.cc:84-144).
 
-        Returns (total_reads, n_consumed).
+        Returns (total_reads, n_consumed).  The tag-spacing pass runs
+        on the native host tier per read when available (one C call
+        per read with a persistent tag set, found tags linked to the
+        read's label here) — the device path commits once per read and
+        pays a dispatch round trip each time.
         """
-        from khmer_tpu.core import pipeline
+        from khmer_tpu.core import hostengine, pipeline
 
         graph = self.graph
         k = graph.ksize()
         total_reads = 0
         n_consumed = 0
-        for record in pipeline.records_from(source):
-            seq = record.cleaned_seq
-            label = total_reads
-            total_reads += 1
-            if len(seq) < k:
-                continue
-            n_consumed += self._consume_sequence_and_tag_with_labels(
-                seq, label)
+        native = None
+        if hostengine.use_host_for(graph, "graph"):
+            native = hostengine.LabeledTagConsumer(graph)
+        try:
+            for record in pipeline.records_from(source):
+                seq = record.cleaned_seq
+                label = total_reads
+                total_reads += 1
+                if len(seq) < k:
+                    continue
+                if native is not None:
+                    nc, found = native.consume_read(seq)
+                    n_consumed += nc
+                    for tag in found:
+                        self.link_tag_and_label(int(tag), label)
+                else:
+                    n_consumed += \
+                        self._consume_sequence_and_tag_with_labels(
+                            seq, label)
+        finally:
+            if native is not None:
+                native.finish()
         return total_reads, n_consumed
 
     def _consume_sequence_and_tag_with_labels(self, seq, label,
@@ -116,27 +134,43 @@ class GraphLabels:
         from khmer_tpu.core import pipeline
         from khmer_tpu.core.partition import _atoi_prefix
 
+        from khmer_tpu.core import hostengine
+
         graph = self.graph
         k = graph.ksize()
         total_reads = 0
         n_consumed = 0
-        for record in pipeline.records_from(filename):
-            seq = record.cleaned_seq
-            name = record.name
-            # same mandatory-'\t' parse as consume_partitioned_fasta
-            # (reference read_parsers.hh:210-233 _parse_partition_id
-            # throws without the tab; atoi -> 0 on a bad suffix)
-            parts = name.rsplit("\t", 1)
-            if len(parts) != 2:
-                raise ValueError(
-                    "consume_partitioned_fasta_and_tag_with_labels "
-                    "cannot find partition ID for read " + name)
-            label = _atoi_prefix(parts[1])
-            total_reads += 1
-            if len(seq) < k:
-                continue
-            n_consumed += self._consume_sequence_and_tag_with_labels(
-                seq, label)
+        native = None
+        if hostengine.use_host_for(graph, "graph"):
+            native = hostengine.LabeledTagConsumer(graph)
+        try:
+            for record in pipeline.records_from(filename):
+                seq = record.cleaned_seq
+                name = record.name
+                # same mandatory-'\t' parse as consume_partitioned_fasta
+                # (reference read_parsers.hh:210-233 _parse_partition_id
+                # throws without the tab; atoi -> 0 on a bad suffix)
+                parts = name.rsplit("\t", 1)
+                if len(parts) != 2:
+                    raise ValueError(
+                        "consume_partitioned_fasta_and_tag_with_labels "
+                        "cannot find partition ID for read " + name)
+                label = _atoi_prefix(parts[1])
+                total_reads += 1
+                if len(seq) < k:
+                    continue
+                if native is not None:
+                    nc, found = native.consume_read(seq)
+                    n_consumed += nc
+                    for tag in found:
+                        self.link_tag_and_label(int(tag), label)
+                else:
+                    n_consumed += \
+                        self._consume_sequence_and_tag_with_labels(
+                            seq, label)
+        finally:
+            if native is not None:
+                native.finish()
         return total_reads, n_consumed
 
     # -- sweeps -----------------------------------------------------------

@@ -241,6 +241,11 @@ def find_all_tags_batch(graph, starts, break_on_stop_tags=False,
 
 
 def _probe(graph, fs, rs):
+    from khmer_tpu.core import hostengine
+
+    if hostengine.use_host_for(graph, "graph"):
+        # zero-dispatch neighbor probe off the host table mirror
+        return hostengine.host_neighbors_batch(graph, fs, rs)
     n = len(fs)
     pad = 256
     while pad < n:

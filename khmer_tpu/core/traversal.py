@@ -21,6 +21,10 @@ def _probe_neighbors(graph, fs, rs):
     neighbor order is right A,T,C,G then left A,T,C,G - matching
     NodeGatherer (src/oxli/traversal.cc:100-133).
     """
+    from khmer_tpu.core import hostengine
+
+    if hostengine.use_host_for(graph, "graph"):
+        return hostengine.host_neighbors_batch(graph, fs, rs)
     M = max(len(fs), 1)
     pad_f = np.zeros(M, np.uint64)
     pad_r = np.zeros(M, np.uint64)
@@ -94,6 +98,7 @@ def bfs(graph, start_f, start_r, *, threshold=0, radius=None,
 def calc_connected_graph_size(graph, kmer, max_size=0,
                               break_on_circum=False):
     """Component size via BFS (reference hashgraph.cc:420-471)."""
+    from khmer_tpu.core import hostengine
     from khmer_tpu.ops import hashing as H
 
     if isinstance(kmer, str):
@@ -103,6 +108,10 @@ def calc_connected_graph_size(graph, kmer, max_size=0,
         _, f, r = H._hash_scalar(s, graph.ksize())
     if graph.get(int(min(f, r))) == 0:
         return 0
+    if hostengine.use_host_for(graph, "graph") and not break_on_circum:
+        count, _ = hostengine.traverse_from_kmer(
+            graph, min(int(f), int(r)), threshold=max_size)
+        return count
     count, _ = bfs(graph, f, r, threshold=max_size,
                    break_on_circum=break_on_circum)
     return count
@@ -110,6 +119,7 @@ def calc_connected_graph_size(graph, kmer, max_size=0,
 
 def traverse_from_kmer(graph, kmer, radius, max_count=0, keeper=None):
     """Bounded-radius BFS (reference hashgraph.cc:503-570)."""
+    from khmer_tpu.core import hostengine
     from khmer_tpu.ops import hashing as H
 
     if isinstance(kmer, str):
@@ -117,6 +127,13 @@ def traverse_from_kmer(graph, kmer, radius, max_count=0, keeper=None):
     else:
         s = H.reverse_hash(int(kmer), graph.ksize())
         _, f, r = H._hash_scalar(s, graph.ksize())
+    if hostengine.use_host_for(graph, "graph") and not keeper:
+        count, found = hostengine.traverse_from_kmer(
+            graph, min(int(f), int(r)), radius=radius,
+            max_count=max_count)
+        if keeper is not None:
+            keeper.update(found)
+        return count
     count, _ = bfs(graph, f, r, radius=radius, max_count=max_count,
                    keeper=keeper if keeper is not None else set())
     return count

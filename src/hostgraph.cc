@@ -328,6 +328,7 @@ long long hg_set_export(void* s, uint64_t* out, long long cap) {
         if (set->used[i]) out[j++] = set->keys[i];
     return j;
 }
+void hg_set_clear(void* s) { ((U64Set*)s)->clear(); }
 void hg_set_free(void* s) { delete (U64Set*)s; }
 
 // ---------------------------------------------------------------------
@@ -765,6 +766,70 @@ void find_all_tags_one(
 
 }  // namespace
 
+// Bounded-radius BFS (reference Hashgraph::traverse_from_kmer,
+// hashgraph.cc:503-570) with the optional early-exit `threshold` of
+// calc_connected_graph_size (hashgraph.cc:420-471).  Visited canonical
+// hashes land in out_keeper; returns the count, or -(needed) when
+// out_cap is too small.
+long long hg_traverse_from_kmer(
+    int kind, uint8_t** tables, const uint64_t* primes, int n_tables,
+    int k, uint64_t start, long long radius, long long max_count,
+    long long threshold,
+    const uint64_t* stops_sorted, int64_t n_stops,
+    uint64_t* out_keeper, long long out_cap) {
+    Tables T{kind, n_tables, tables, primes};
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int shift = 2 * k - 2;
+    static const uint8_t kOrder[4] = {0, 2, 3, 1};
+
+    U64Set keeper(256);
+    std::vector<uint64_t> qf, qr;
+    std::vector<int64_t> qb;
+    qf.push_back(start);
+    qr.push_back(revcomp_bits(start, k));
+    qb.push_back(0);
+    size_t head = 0;
+    long long total = 0;
+
+    while (head < qf.size()) {
+        uint64_t f = qf[head], r = qr[head];
+        int64_t b = qb[head];
+        head++;
+        if (radius >= 0 && b > radius) break;
+        if (max_count && total > max_count) break;
+        uint64_t canon = f < r ? f : r;
+        if (keeper.contains(canon)) continue;
+        if (in_sorted(stops_sorted, n_stops, canon)) continue;
+        keeper.insert(canon);
+        total++;
+        if (threshold && total >= threshold) break;
+        for (int d = 0; d < 2; d++) {
+            for (int bi = 0; bi < 4; bi++) {
+                uint64_t c2 = kOrder[bi];
+                uint64_t nf, nr;
+                if (d == 0) {
+                    nf = ((f << 2) | c2) & mask;
+                    nr = (r >> 2) | ((c2 ^ 1) << shift);
+                } else {
+                    nf = (f >> 2) | (c2 << shift);
+                    nr = ((r << 2) | (c2 ^ 1)) & mask;
+                }
+                uint64_t nc = nf < nr ? nf : nr;
+                if (graph_has(T, nc) && !keeper.contains(nc)) {
+                    qf.push_back(nf);
+                    qr.push_back(nr);
+                    qb.push_back(b + 1);
+                }
+            }
+        }
+    }
+    if ((long long)keeper.n > out_cap) return -(long long)keeper.n;
+    long long j = 0;
+    for (size_t i = 0; i < keeper.cap; i++)
+        if (keeper.used[i]) out_keeper[j++] = keeper.keys[i];
+    return total;
+}
+
 // Returns total tags written, or -(needed) when out_cap is too small.
 // out_offsets has n_starts+1 entries.
 long long hg_find_all_tags_range(
@@ -1095,16 +1160,19 @@ void hg_median_counts(
             R.step(codes[pos++], f, r);
             canon = f < r ? f : r;
         }
-        double avg = 0;
-        for (uint32_t c : counts) avg += c;
-        avg /= counts.size();
-        double var = 0;
-        for (uint32_t c : counts) var += (c - avg) * (c - avg);
-        var /= counts.size();
+        // float32 accumulation like the reference (hashtable.cc:299-328)
+        // so printed digits match bit for bit
+        float avg = 0;
+        for (uint32_t c : counts) avg += (float)c;
+        avg /= (float)counts.size();
+        float var = 0;
+        for (uint32_t c : counts)
+            var += ((float)c - avg) * ((float)c - avg);
+        var /= (float)counts.size();
         std::sort(counts.begin(), counts.end());
         median_out[ri] = (int32_t)counts[counts.size() / 2];
-        avg_out[ri] = (float)avg;
-        std_out[ri] = (float)std::sqrt(var);
+        avg_out[ri] = avg;
+        std_out[ri] = std::sqrt(var);
     }
 }
 

