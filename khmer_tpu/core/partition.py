@@ -738,8 +738,12 @@ class SubsetPartition:
         """
         import jax.numpy as jnp
 
-        from khmer_tpu.core import pipeline
+        from khmer_tpu.core import hostengine, pipeline
         from khmer_tpu.ops import hashing as H
+
+        if hostengine.use_host_for(self.graph, "graph"):
+            return self._output_partitioned_host(infilename, outputfile,
+                                                 output_unassigned)
 
         n_singletons = 0
         partitions = set()
@@ -817,6 +821,67 @@ class SubsetPartition:
             flush(batcher.add(seq))
         flush(batcher.flush())
         outfile.close()
+        return len(partitions) + n_singletons
+
+
+    def _output_partitioned_host(self, infilename, outputfile,
+                                 output_unassigned=False):
+        """Host-tier annotate: per-read zero-dispatch hashing + a
+        sorted-array scan for the first mapped tag (subset.cc:115-208
+        semantics, no device round trips)."""
+        from khmer_tpu.core import hostengine, pipeline
+        from khmer_tpu.ops import hashing as Hh
+
+        n_singletons = 0
+        partitions = set()
+        k = self.graph.ksize()
+        tags_sorted = np.fromiter(self.partition_map.keys(), np.uint64,
+                                  len(self.partition_map))
+        tags_sorted.sort()
+
+        def window_batches(records, size=16384):
+            batch = []
+            for rec in records:
+                batch.append(rec)
+                if len(batch) >= size:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+
+        with open(outputfile, "w") as outfile:
+            for window in window_batches(
+                    pipeline.records_from(infilename)):
+                # one flat hash pass for the whole window: reads are
+                # contiguous in the packed codes, so read i's windows
+                # are flat_hashes[starts[i] : ends[i]-k+1]
+                codes, starts, ends, _ = hostengine.pack_records(window)
+                flat = Hh.host_hash_windows(codes, k)
+                ismap = _sorted_contains(tags_sorted, flat) \
+                    if flat.size else np.zeros(0, bool)
+                for i, read in enumerate(window):
+                    seq = read.cleaned_seq
+                    partition_id = 0
+                    lo = starts[i]
+                    hi = ends[i] - k + 1
+                    if hi > lo:
+                        hit = np.nonzero(ismap[lo:hi])[0]
+                        if hit.size:
+                            pp = self.partition_map[
+                                int(flat[lo + hit[0]])]
+                            if pp is None:
+                                n_singletons += 1
+                            else:
+                                partition_id = pp.pid
+                                partitions.add(partition_id)
+                    if partition_id > 0 or output_unassigned:
+                        if read.quality:
+                            outfile.write("@%s\t%d\n%s\n+\n%s\n" % (
+                                read.name, partition_id, seq,
+                                read.quality))
+                        else:
+                            outfile.write(">%s\t%d\n%s\n" % (
+                                read.name, partition_id, seq))
         return len(partitions) + n_singletons
 
 

@@ -175,6 +175,10 @@ class _Sketch:
         return self._hashes_for_codes(codes)
 
     def _hashes_for_codes(self, codes):
+        if self.hash_family == "twobit":
+            # zero-dispatch host hash (bit-identical; the jit path
+            # below costs a device round trip per sequence)
+            return H.host_hash_windows(codes, self._ksize)
         n = len(codes)
         L = max(_round_up(n, 32), self._ksize + 31)
         padded = np.zeros(L, dtype=np.uint8)

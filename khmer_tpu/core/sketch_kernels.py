@@ -808,7 +808,7 @@ def host_occupied(kind, table0):
         return int(np.count_nonzero(table0 >> 4)
                    + np.count_nonzero(table0 & 0xF))
     if kind == "bit":
-        return int(np.sum(np.unpackbits(table0).astype(np.uint64)))
+        return int(np.count_nonzero(np.unpackbits(table0)))
     raise ValueError(kind)
 
 

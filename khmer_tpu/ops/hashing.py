@@ -215,6 +215,26 @@ def _u64(x):
     return jnp.asarray(x, dtype=jnp.uint64)
 
 
+def host_hash_windows(codes, k):
+    """Canonical 2-bit window hashes on the host (numpy).
+
+    The same closed form as the device rolling hash — window i packs
+    codes[i..i+k-1] forward and complement-reversed — computed with k
+    shifted vector ORs, bit-identical to _hash_scalar (tested in
+    tests/test_hashing.py).  This is the zero-dispatch hash for the
+    host tier's per-sequence paths (annotate, tag queries)."""
+    codes = np.asarray(codes, dtype=np.uint64)
+    W = codes.shape[0] - k + 1
+    if W <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    f = np.zeros(W, dtype=np.uint64)
+    r = np.zeros(W, dtype=np.uint64)
+    for j in range(k):
+        f |= codes[j:j + W] << np.uint64(2 * (k - 1 - j))
+        r |= (codes[j:j + W] ^ np.uint64(1)) << np.uint64(2 * j)
+    return np.minimum(f, r)
+
+
 def rolling_hash_windows(codes, k: int):
     """Compute (canonical, f, r) 2-bit hashes for every k-window.
 
