@@ -548,6 +548,12 @@ def counts_for_records(sketch, records):
     Count arrays include host-side bigcount fixup. Reads shorter than k
     yield an empty array.
     """
+    from khmer_tpu.core import hostengine
+
+    if hostengine.use_host_for(sketch, "graph"):
+        yield from _counts_for_records_host(sketch, records)
+        return
+
     k = sketch.ksize()
     get_fn = sketch._get_fn()
     hash_fn = make_hash_batch(k, sketch.hash_family)
@@ -599,3 +605,70 @@ def counts_for_records(sketch, records):
             pending.append(record)
     if pending:
         yield from process(batcher.flush())
+
+
+def _counts_for_records_host(sketch, records):
+    """Host-tier counts_for_records: flat zero-dispatch hashing per
+    window + a numpy gather off the host table mirror."""
+    from khmer_tpu.core import hostengine
+    from khmer_tpu.ops import hashing as H
+
+    k = sketch.ksize()
+    tabs = sketch.host_view()
+    primes = sketch._primes
+    kind = sketch.storage_kind
+    bigs = sketch._bigcounts if (sketch._use_bigcount
+                                 and sketch._bigcounts) else None
+
+    def gather(flat):
+        if kind == "bit":
+            m = np.ones(flat.shape, np.uint32)
+        else:
+            m = np.full(flat.shape, np.uint32(
+                K.MAX_KCOUNT if kind == "byte" else 15))
+        for t, p in zip(tabs, primes):
+            bins = flat % np.uint64(p)
+            if kind == "byte":
+                c = t[bins.astype(np.int64)].astype(np.uint32)
+            elif kind == "bit":
+                byte = t[(bins >> np.uint64(3)).astype(np.int64)]
+                bit = (byte >> (bins & np.uint64(7)).astype(np.uint8)) & 1
+                c = bit.astype(np.uint32)
+                m &= c
+                continue
+            else:
+                byte = t[(bins >> np.uint64(1)).astype(np.int64)]
+                odd = (bins & np.uint64(1)).astype(bool)
+                c = np.where(odd, byte & 0x0F, byte >> 4).astype(np.uint32)
+            m = np.minimum(m, c)
+        return m
+
+    window = []
+    for record in records:
+        window.append(record)
+        if len(window) < 16384:
+            continue
+        yield from _emit_host_counts(sketch, window, k, gather, bigs)
+        window = []
+    if window:
+        yield from _emit_host_counts(sketch, window, k, gather, bigs)
+
+
+def _emit_host_counts(sketch, window, k, gather, bigs):
+    from khmer_tpu.core import hostengine
+    from khmer_tpu.ops import hashing as H
+
+    codes, starts, ends, _ = hostengine.pack_records(window)
+    flat = H.host_hash_windows(codes, k)
+    counts = gather(flat) if flat.size else np.zeros(0, np.uint32)
+    for i, rec in enumerate(window):
+        lo, hi = starts[i], ends[i] - k + 1
+        if hi <= lo:
+            yield rec, np.zeros(0, dtype=np.uint32)
+            continue
+        c = counts[lo:hi].copy()
+        if bigs is not None:
+            sat = c == K.MAX_KCOUNT
+            for j in np.nonzero(sat)[0]:
+                c[j] = bigs.get(int(flat[lo + j]), K.MAX_KCOUNT)
+        yield rec, c
