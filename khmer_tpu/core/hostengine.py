@@ -135,6 +135,14 @@ def _load():
         _u8p, _u8p, _i32p, _u8p, _u16p, ctypes.c_longlong,
         _dblp, ctypes.POINTER(ctypes.c_int)]
 
+    lib.hg_sweep_for_tags.restype = ctypes.c_longlong
+    lib.hg_sweep_for_tags.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
+        _u8p, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        _u64p, ctypes.c_int64, _u64p, ctypes.c_int64,
+        _u64p, ctypes.c_longlong, _llp]
+
     lib.hg_traverse_from_kmer.restype = ctypes.c_longlong
     lib.hg_traverse_from_kmer.argtypes = [
         ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
@@ -507,6 +515,37 @@ def trim_filter(graph, codes, starts, ends, cutoff,
         len(starts), int(cutoff), 1 if variable_coverage else 0,
         int(normalize_to), trim_at.ctypes.data_as(_i32p))
     return trim_at
+
+
+def sweep_for_tags(graph, seq, sweep_range, break_on_stop_tags,
+                   stop_big_traversals):
+    """Perimeter tag sweep on the host tier (subset.cc:305-394).
+
+    Returns (tagged_set, total_traversed)."""
+    from khmer_tpu.ops import hashing as H
+
+    lib = _load()
+    kind = KIND[graph.storage_kind]
+    tabs, ptrs, primes_p, _keep = _view_args(graph)
+    tags_sorted = _sorted_u64(graph.all_tags)
+    stops_sorted = _sorted_u64(graph.stop_tags)
+    codes = np.ascontiguousarray(H.encode_dna(seq))
+    total = ctypes.c_longlong(0)
+    cap = max(1024, len(tags_sorted))
+    while True:
+        out = np.empty(cap, dtype=np.uint64)
+        got = lib.hg_sweep_for_tags(
+            kind, ptrs, primes_p, len(tabs), graph.ksize(),
+            _arr(codes, _u8p), len(codes), int(sweep_range),
+            1 if break_on_stop_tags else 0,
+            1 if stop_big_traversals else 0,
+            _arr(tags_sorted, _u64p), len(tags_sorted),
+            _arr(stops_sorted, _u64p), len(stops_sorted),
+            out.ctypes.data_as(_u64p), cap, ctypes.byref(total))
+        if got >= 0:
+            break
+        cap = -got
+    return set(int(t) for t in out[:got]), int(total.value)
 
 
 def traverse_from_kmer(graph, start_canon, radius=None, max_count=0,

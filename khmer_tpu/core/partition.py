@@ -280,8 +280,17 @@ def sweep_for_tags(graph, seq, range=0, break_on_stop_tags=False,
 
     Returns (tagged set, n_traversed). Mirrors
     SubsetPartition::sweep_for_tags (subset.cc:305-394), including the
-    seed-at-breadth-0 FIFO and early-return past max_breadth.
+    seed-at-breadth-0 FIFO and early-return past max_breadth.  Runs on
+    the native host tier when available (zero dispatches, one C call
+    per sweep); this Python engine is the reference implementation.
     """
+    from khmer_tpu.core import hostengine
+
+    if hostengine.use_host_for(graph, "graph"):
+        return hostengine.sweep_for_tags(graph, seq, range,
+                                         break_on_stop_tags,
+                                         stop_big_traversals)
+
     k = graph.ksize()
     all_tags = graph.all_tags
     stop_tags = graph.stop_tags

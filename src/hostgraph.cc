@@ -766,6 +766,114 @@ void find_all_tags_one(
 
 }  // namespace
 
+// Perimeter sweep (reference SubsetPartition::sweep_for_tags,
+// subset.cc:305-394): every window of the query sequence seeds the
+// queue at breadth 0 (and pre-marks traversed), then BFS collects
+// nearby tags within `range`.  Control flow mirrors the Python engine
+// in core/partition.py:sweep_for_tags, including the stop-big check
+// once per PROBED node and the early return past max_breadth.
+// Returns n tagged (sorted into out_tags), or -(needed) if cap small;
+// *total_out = nodes processed.
+long long hg_sweep_for_tags(
+    int kind, uint8_t** tables, const uint64_t* primes, int n_tables,
+    int k, const uint8_t* codes, long long seq_len,
+    long long max_breadth, int break_on_stop, int stop_big,
+    const uint64_t* tags_sorted, int64_t n_tags,
+    const uint64_t* stops_sorted, int64_t n_stops,
+    uint64_t* out_tags, long long out_cap, long long* total_out) {
+    Tables T{kind, n_tables, tables, primes};
+    Roller R(k);
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int shift = 2 * k - 2;
+    static const uint8_t kOrder[4] = {0, 2, 3, 1};
+
+    U64Set traversed(256);
+    std::vector<uint64_t> tagged;
+    std::vector<uint64_t> qf, qr;
+    std::vector<int64_t> qb;
+    if (seq_len >= k) {
+        uint64_t f, r;
+        R.seed(codes, f, r);
+        for (long long i = 0;;) {
+            traversed.insert(f < r ? f : r);
+            qf.push_back(f); qr.push_back(r); qb.push_back(0);
+            if (++i > seq_len - k) break;
+            R.step(codes[i + k - 1], f, r);
+        }
+    }
+    long long big_perimeter =
+        BIG_TRAVERSALS_ARE * ((long long)qf.size() / 2);
+    long long total = 0;
+    size_t head = 0;
+    bool early_return = false;
+
+    for (;;) {
+        if (stop_big && (long long)traversed.n > big_perimeter) {
+            tagged.clear();
+            break;
+        }
+        // walk until a node needs a probe
+        bool have = false;
+        uint64_t f = 0, r = 0;
+        int64_t b = 0;
+        while (head < qf.size()) {
+            f = qf[head]; r = qr[head]; b = qb[head];
+            uint64_t c = f < r ? f : r;
+            if (break_on_stop && in_sorted(stops_sorted, n_stops, c)) {
+                head++;
+                continue;
+            }
+            traversed.insert(c);
+            total++;
+            if (in_sorted(tags_sorted, n_tags, c)) {
+                tagged.push_back(c);
+                head++;
+                continue;
+            }
+            if (b == max_breadth) {
+                head++;
+                continue;
+            }
+            if (b > max_breadth) {
+                early_return = true;
+                break;
+            }
+            head++;
+            have = true;
+            break;
+        }
+        if (early_return || !have) break;
+        for (int d = 0; d < 2; d++) {
+            for (int bi = 0; bi < 4; bi++) {
+                uint64_t c2 = kOrder[bi];
+                uint64_t nf, nr;
+                if (d == 0) {
+                    nf = ((f << 2) | c2) & mask;
+                    nr = (r >> 2) | ((c2 ^ 1) << shift);
+                } else {
+                    nf = (f >> 2) | (c2 << shift);
+                    nr = ((r << 2) | (c2 ^ 1)) & mask;
+                }
+                uint64_t nc = nf < nr ? nf : nr;
+                if (graph_has(T, nc) && !traversed.contains(nc)) {
+                    qf.push_back(nf);
+                    qr.push_back(nr);
+                    qb.push_back(b + 1);
+                }
+            }
+        }
+    }
+    *total_out = total;
+    std::sort(tagged.begin(), tagged.end());
+    tagged.erase(std::unique(tagged.begin(), tagged.end()),
+                 tagged.end());
+    if ((long long)tagged.size() > out_cap)
+        return -(long long)tagged.size();
+    std::memcpy(out_tags, tagged.data(),
+                tagged.size() * sizeof(uint64_t));
+    return (long long)tagged.size();
+}
+
 // Bounded-radius BFS (reference Hashgraph::traverse_from_kmer,
 // hashgraph.cc:503-570) with the optional early-exit `threshold` of
 // calc_connected_graph_size (hashgraph.cc:420-471).  Visited canonical

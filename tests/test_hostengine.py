@@ -293,3 +293,31 @@ def test_labeled_consume_engines_match(monkeypatch):
     assert host[:5] == dev[:5]
     for a, b in zip(host[5], dev[5]):
         assert np.array_equal(a, b)
+
+
+def test_sweep_for_tags_engines_match(monkeypatch):
+    """hg_sweep_for_tags == the Python sweep across ranges/flags."""
+    from khmer_tpu.core.partition import sweep_for_tags
+
+    reads = _random_reads(200, 110, seed=81, coverage_pool=_pool(83))
+    _force(monkeypatch, "host")
+    g = Nodegraph(15, 2e4, 4)
+    g.consume_seqfile_and_tag(list(reads))
+    some = sorted(g.all_tags)
+    g.stop_tags.update(some[::9])
+
+    queries = [r.cleaned_seq for r in reads[:12]]
+    queries.append(reads[0].cleaned_seq[:40])
+    for q in queries:
+        for rng_ in (0, 2, 10, 40):
+            for stop in (False, True):
+                for big in (False, True):
+                    _force(monkeypatch, "host")
+                    th = sweep_for_tags(g, q, range=rng_,
+                                        break_on_stop_tags=stop,
+                                        stop_big_traversals=big)
+                    _force(monkeypatch, "device")
+                    td = sweep_for_tags(g, q, range=rng_,
+                                        break_on_stop_tags=stop,
+                                        stop_big_traversals=big)
+                    assert th == td, (q[:20], rng_, stop, big)
