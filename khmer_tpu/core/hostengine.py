@@ -135,6 +135,12 @@ def _load():
         _u8p, _u8p, _i32p, _u8p, _u16p, ctypes.c_longlong,
         _dblp, ctypes.POINTER(ctypes.c_int)]
 
+    lib.hg_add_hashes.restype = ctypes.c_longlong
+    lib.hg_add_hashes.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int,
+        _u64p, ctypes.c_longlong, _u64p, _u64p,
+        ctypes.c_int, _u64p, ctypes.c_longlong, _llp]
+
     lib.hg_sweep_for_tags.restype = ctypes.c_longlong
     lib.hg_sweep_for_tags.argtypes = [
         ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
@@ -515,6 +521,53 @@ def trim_filter(graph, codes, starts, ends, cutoff,
         len(starts), int(cutoff), 1 if variable_coverage else 0,
         int(normalize_to), trim_at.ctypes.data_as(_i32p))
     return trim_at
+
+
+def add_hashes(sketch, hashes):
+    """Sequential-exact adds of pre-hashed canonical k-mers against the
+    host table mirror; returns the number of new k-mers."""
+    lib = _load()
+    kind = KIND[sketch.storage_kind]
+    tabs, ptrs, primes_p, _keep = _tables_args(sketch)
+    h = np.ascontiguousarray(np.asarray(hashes, dtype=np.uint64))
+    uq = ctypes.c_uint64(0)
+    oc = ctypes.c_uint64(0)
+    track_sat = 1 if (getattr(sketch, "_use_bigcount", False)
+                      and sketch.storage_kind == "byte") else 0
+    sat_cap = (len(h) + 16) if track_sat else 1
+    sat = np.empty(sat_cap, dtype=np.uint64)
+    sat_n = ctypes.c_longlong(0)
+    got = lib.hg_add_hashes(
+        kind, ptrs, primes_p, len(tabs), _arr(h, _u64p), len(h),
+        ctypes.byref(uq), ctypes.byref(oc),
+        track_sat, sat.ctypes.data_as(_u64p), sat_cap,
+        ctypes.byref(sat_n))
+    if got < 0:
+        raise RuntimeError("saturation overflow")
+    for hh in sat[:sat_n.value]:
+        sketch._bigcount_add(int(hh), 1)
+    _bump_unique(sketch, int(uq.value))
+    return int(got)
+
+
+def per_table_counts(sketch, hashes):
+    """[n_tables, n] per-table raw counts off the host mirror (the
+    repartition HCK evaluation needs per-table values, not the min)."""
+    tabs = sketch.host_view()
+    h = np.asarray(hashes, dtype=np.uint64).ravel()
+    out = np.zeros((len(tabs), len(h)), dtype=np.uint16)
+    for t, (tab, p) in enumerate(zip(tabs, sketch._primes)):
+        bins = h % np.uint64(p)
+        if sketch.storage_kind == "byte":
+            out[t] = tab[bins.astype(np.int64)]
+        elif sketch.storage_kind == "bit":
+            byte = tab[(bins >> np.uint64(3)).astype(np.int64)]
+            out[t] = (byte >> (bins & np.uint64(7)).astype(np.uint8)) & 1
+        else:
+            byte = tab[(bins >> np.uint64(1)).astype(np.int64)]
+            odd = (bins & np.uint64(1)).astype(bool)
+            out[t] = np.where(odd, byte & 0x0F, byte >> 4)
+    return out
 
 
 def sweep_for_tags(graph, seq, sweep_range, break_on_stop_tags,

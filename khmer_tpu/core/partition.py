@@ -668,14 +668,18 @@ class SubsetPartition:
             graph.repart_small_tags = set()
 
         # evaluate counting sequentially: per keeper, gather per-table
-        # base counts in one device call, then walk with a (table, bin)
-        # delta map so FP-level interactions match the reference
+        # base counts in one batch (host mirror when available, device
+        # otherwise), then walk with a (table, bin) delta map so
+        # FP-level interactions match the reference
+        from khmer_tpu.core import hostengine
         from khmer_tpu.core import sketch_kernels as K
 
         import jax.numpy as jnp
 
         primes = tuple(counting._primes)
-        pertable = K.make_pertable_get(counting.storage_kind, primes)
+        host_counting = hostengine.use_host_for(counting, "trim")
+        pertable = None if host_counting else \
+            K.make_pertable_get(counting.storage_kind, primes)
 
         for tag in sorted(bigtags):
             if tag in graph.repart_small_tags:
@@ -685,11 +689,14 @@ class SubsetPartition:
                                          keeper=keeper)
             if count >= threshold:
                 kms = np.array(sorted(keeper), dtype=np.uint64)
-                pad = max(((len(kms) + 255) // 256) * 256, 256)
-                kb = np.zeros(pad, np.uint64)
-                kb[: len(kms)] = kms
-                base = np.asarray(pertable(counting.tables,
-                                           jnp.asarray(kb)))[:, : len(kms)]
+                if host_counting:
+                    base = hostengine.per_table_counts(counting, kms)
+                else:
+                    pad = max(((len(kms) + 255) // 256) * 256, 256)
+                    kb = np.zeros(pad, np.uint64)
+                    kb[: len(kms)] = kms
+                    base = np.asarray(pertable(
+                        counting.tables, jnp.asarray(kb)))[:, : len(kms)]
                 delta = {}
                 pending = []
                 for i, km in enumerate(kms):
@@ -706,8 +713,11 @@ class SubsetPartition:
                             key = (km % p) + (t << 60)
                             delta[key] = delta.get(key, 0) + 1
                 if pending:
-                    counting._commit_hashes(
-                        np.array(pending, dtype=np.uint64))
+                    arr = np.array(pending, dtype=np.uint64)
+                    if host_counting:
+                        hostengine.add_hashes(counting, arr)
+                    else:
+                        counting._commit_hashes(arr)
             else:
                 graph.repart_small_tags.add(tag)
 

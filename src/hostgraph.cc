@@ -766,6 +766,31 @@ void find_all_tags_one(
 
 }  // namespace
 
+// Commit an array of pre-hashed canonical k-mers (one sequential add
+// each, reference Storage::add semantics).  Returns n_new.
+long long hg_add_hashes(
+    int kind, uint8_t** tables, const uint64_t* primes, int n_tables,
+    const uint64_t* hashes, long long n,
+    uint64_t* n_unique_io, uint64_t* n_occupied_io,
+    int track_saturation, uint64_t* sat_out, long long sat_cap,
+    long long* sat_n) {
+    Tables T{kind, n_tables, tables, primes};
+    AddStats st;
+    st.track_saturation = track_saturation != 0;
+    long long n_new = 0;
+    for (long long i = 0; i < n; i++)
+        if (add_kmer(T, hashes[i], st)) n_new++;
+    *n_unique_io += st.n_unique;
+    *n_occupied_io += st.n_occupied;
+    if (st.track_saturation) {
+        long long m = (long long)st.saturated.size();
+        *sat_n = m;
+        if (m > sat_cap) return -1;
+        std::memcpy(sat_out, st.saturated.data(), m * sizeof(uint64_t));
+    }
+    return n_new;
+}
+
 // Perimeter sweep (reference SubsetPartition::sweep_for_tags,
 // subset.cc:305-394): every window of the query sequence seeds the
 // queue at breadth 0 (and pre-marks traversed), then BFS collects
