@@ -230,6 +230,24 @@ def _sorted_u64(seq):
     return a
 
 
+def _sorted_cached(graph, attr):
+    """Sorted-array view of a graph's tag/stoptag SET, cached until the
+    set's identity or size changes (the sets only grow in place or get
+    replaced wholesale).  Knot detection calls traverse_from_kmer once
+    per tag while stop_tags grows into the hundreds of thousands — a
+    fresh fromiter+sort per call turned O(n) walks O(n^2)."""
+    s = getattr(graph, attr)
+    cache = getattr(graph, "_sorted_cache", None)
+    if cache is None:
+        cache = graph._sorted_cache = {}
+    hit = cache.get(attr)
+    if hit is not None and hit[0] is s and hit[1] == len(s):
+        return hit[2]
+    arr = _sorted_u64(s)
+    cache[attr] = (s, len(s), arr)
+    return arr
+
+
 class NativeSet:
     """Owning wrapper around the native u64 set."""
 
@@ -425,8 +443,8 @@ def find_all_tags_range(graph, starts, break_on_stop_tags,
     kind = KIND[graph.storage_kind]
     tabs, ptrs, primes_p, _keep = _view_args(graph)
     k = graph.ksize()
-    tags_sorted = _sorted_u64(graph.all_tags)
-    stops_sorted = _sorted_u64(graph.stop_tags)
+    tags_sorted = _sorted_cached(graph, "all_tags")
+    stops_sorted = _sorted_cached(graph, "stop_tags")
     sarr = np.ascontiguousarray(np.asarray(starts, dtype=np.uint64))
     n = len(sarr)
     if count_range is not None:
@@ -580,8 +598,8 @@ def sweep_for_tags(graph, seq, sweep_range, break_on_stop_tags,
     lib = _load()
     kind = KIND[graph.storage_kind]
     tabs, ptrs, primes_p, _keep = _view_args(graph)
-    tags_sorted = _sorted_u64(graph.all_tags)
-    stops_sorted = _sorted_u64(graph.stop_tags)
+    tags_sorted = _sorted_cached(graph, "all_tags")
+    stops_sorted = _sorted_cached(graph, "stop_tags")
     codes = np.ascontiguousarray(H.encode_dna(seq))
     total = ctypes.c_longlong(0)
     cap = max(1024, len(tags_sorted))
@@ -609,7 +627,7 @@ def traverse_from_kmer(graph, start_canon, radius=None, max_count=0,
     lib = _load()
     kind = KIND[graph.storage_kind]
     tabs, ptrs, primes_p, _keep = _view_args(graph)
-    stops = _sorted_u64(graph.stop_tags)
+    stops = _sorted_cached(graph, "stop_tags")
     cap = 4096
     while True:
         out = np.empty(cap, dtype=np.uint64)
