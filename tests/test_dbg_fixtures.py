@@ -312,3 +312,66 @@ class TestTandemRepeat:
         path = LinearAssembler(graph).assemble(unit[:K])
         # a repeat loop has no linear extension beyond ~one unit + K
         assert len(path) <= len(unit) + K
+
+
+@pytest.fixture
+def right_triple_fork_structure(request, right_double_fork_structure,
+                                rng, length):
+    """A third branch off the same HDN (reference
+    test_assembly.py:318)."""
+    graph, core, HDN, branch = right_double_fork_structure
+    S = K * 2
+    R = core[S + 1:S + 1 + K]
+    # the remaining unused base at the HDN's right side
+    used = {branch[S + K], core[S + K]}
+    alt = next(b for b in "ACGT"
+               if core[S + 1:S + K] + b != R[:K] and b not in used)
+    top_tail = get_random_sequence(length // 2, rng, exclude=core)
+    top = core[:S + 1] + R[:-1] + alt + top_tail
+    graph.consume(top)
+    if hdn_counts(core, graph) != {4: 1}:
+        request.applymarker(pytest.mark.xfail)
+    return graph, core, HDN, branch, top
+
+
+class TestRightTripleFork:
+    def test_degree_four(self, right_triple_fork_structure):
+        graph, core, HDN, branch, top = right_triple_fork_structure
+        assert graph.kmer_degree(HDN) == 4
+
+    def test_labeled_assembly_recovers_core(
+            self, right_triple_fork_structure):
+        # seed from the BEGINNING: the right walk hits the 3-way fork
+        # (reference test_assembly.py:318-341 expects one path per arm)
+        graph, core, HDN, branch, top = right_triple_fork_structure
+        lh = GraphLabels(graph)
+        hdns = graph.find_high_degree_nodes(core)
+        lh.label_across_high_degree_nodes(core, hdns, 1)
+        lh.label_across_high_degree_nodes(branch, hdns, 2)
+        lh.label_across_high_degree_nodes(top, hdns, 3)
+        paths = SimpleLabeledAssembler(lh).assemble(core[:K])
+        assert len(paths) == 3
+        assert _contains_rc(paths, core)
+
+
+class TestSnpBubbleStopBf:
+    def test_stop_filter_blocks_one_allele(self, snp_bubble_structure):
+        """Blocking the mutant arm with a stop filter leaves exactly
+        the wildtype path (reference test_assembly.py:409-430)."""
+        graph, wildtype, mutant, HDN_L, HDN_R = snp_bubble_structure
+        pos = None
+        for i in range(len(wildtype)):
+            if wildtype[i] != mutant[i]:
+                pos = i
+                break
+        lh = GraphLabels(graph)
+        hdns = graph.find_high_degree_nodes(wildtype)
+        hdns |= graph.find_high_degree_nodes(mutant)
+        lh.label_across_high_degree_nodes(wildtype, hdns, 1)
+        lh.label_across_high_degree_nodes(mutant, hdns, 2)
+        stop_bf = Nodegraph(K, 1e5, 4)
+        stop_bf.count(mutant[pos - K + 1:pos + 1])
+        paths = SimpleLabeledAssembler(lh).assemble(wildtype[:K],
+                                                    stop_bf)
+        assert len(paths) == 1
+        assert _equals_rc(paths[0], wildtype)
