@@ -571,20 +571,32 @@ class CyclicCounttable(_Sketch):
         return cyclic.hash_cyclic_windows(seq, self._ksize)
 
     def consume_seqfile(self, path_or_parser, batcher=None):
-        """Host-path file consume: the cyclic rolling hash is computed
-        host-side (the reference wraps a third-party CyclicHash the
-        same way, kmer_hash.cc:210-258), so stream records instead of
-        the device flat pipeline."""
+        """File consume: cyclic window hashes come from the vectorized
+        host closed form (ops/cyclic.hash_cyclic_windows — the
+        reference wraps a third-party CyclicHash the same way,
+        kmer_hash.cc:210-258) and commit in large batches, one device
+        dispatch per ~256k events instead of one per read."""
         from khmer_tpu.core import pipeline
 
         k = self._ksize
         n_reads = 0
         n_consumed = 0
+        buf = []
+        buffered = 0
         for record in pipeline.records_from(path_or_parser):
             seq = record.cleaned_seq
             n_reads += 1
             if len(seq) >= k:
-                n_consumed += self.consume(seq)
+                hashes = self._hashes_for_sequence(seq)
+                buf.append(hashes)
+                buffered += hashes.size
+                n_consumed += int(hashes.size)
+                if buffered >= (1 << 18):
+                    self._commit_hashes(np.concatenate(buf))
+                    buf = []
+                    buffered = 0
+        if buf:
+            self._commit_hashes(np.concatenate(buf))
         return n_reads, n_consumed
 
 
