@@ -135,6 +135,13 @@ def _load():
         _u8p, _u8p, _i32p, _u8p, _u16p, ctypes.c_longlong,
         _dblp, ctypes.POINTER(ctypes.c_int)]
 
+    lib.hg_abund_dist.restype = ctypes.c_longlong
+    lib.hg_abund_dist.argtypes = [
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int,
+        ctypes.c_int, _u8pp, _u64p, ctypes.c_int,
+        ctypes.c_int, _u8p, _i64p, _i64p, ctypes.c_longlong,
+        _u64p, _u64p, ctypes.c_longlong]
+
     lib.hg_add_hashes.restype = ctypes.c_longlong
     lib.hg_add_hashes.argtypes = [
         ctypes.c_int, _u8pp, _u64p, ctypes.c_int,
@@ -539,6 +546,38 @@ def trim_filter(graph, codes, starts, ends, cutoff,
         len(starts), int(cutoff), 1 if variable_coverage else 0,
         int(normalize_to), trim_at.ctypes.data_as(_i32p))
     return trim_at
+
+
+def abundance_distribution(main, source, tracking):
+    """Host-tier abundance histogram (hashtable.cc:451-502 semantics,
+    tracking-table dedup in stream order, bigcount re-binning).
+    Returns a list of MAX_BIGCOUNT+1 ints."""
+    lib = _load()
+    mt, mptrs, mprimes_p, _mk = _view_args(main)
+    tt, tptrs, tprimes_p, _tk = _tables_args(tracking)
+    dist = np.zeros(65536 + 1, dtype=np.uint64)
+    sat_all = []
+    for codes, starts, ends, n in iter_packed_source(source):
+        # at most one first-seen saturated k-mer per window of the
+        # chunk, so len(codes) slots can never overflow
+        cap = len(codes) + 16
+        sat = np.empty(cap, dtype=np.uint64)
+        got = lib.hg_abund_dist(
+            KIND[main.storage_kind], mptrs, mprimes_p, len(mt),
+            KIND[tracking.storage_kind], tptrs, tprimes_p, len(tt),
+            main.ksize(), _arr(codes, _u8p), _arr(starts, _i64p),
+            _arr(ends, _i64p), n,
+            dist.ctypes.data_as(_u64p),
+            sat.ctypes.data_as(_u64p), cap)
+        assert got >= 0
+        sat_all.extend(int(h) for h in sat[:got])
+    if getattr(main, "_use_bigcount", False) and main._bigcounts:
+        for h in sat_all:
+            nn = main._bigcounts.get(h, 255)
+            if nn != 255:
+                dist[255] -= 1
+                dist[nn] += 1
+    return [int(x) for x in dist[:65536]]
 
 
 def add_hashes(sketch, hashes):

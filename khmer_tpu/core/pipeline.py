@@ -494,9 +494,15 @@ def abundance_distribution(main, source, tracking):
     per k-mer in stream order, if tracking says unseen, track it and
     histogram the main count. Returns a list of MAX_BIGCOUNT+1 ints.
     """
+    from khmer_tpu.core import hostengine
+
     k = main.ksize()
     if tracking.ksize() != k:
         raise ValueError("tracking table k-size must match")
+    if hostengine.use_host_for(main, "graph") and \
+            hostengine.use_host_for(tracking, "trim") and \
+            tracking.hash_family == main.hash_family:
+        return hostengine.abundance_distribution(main, source, tracking)
     batcher = Batcher(k)
     hash_fn = make_hash_batch(k, main.hash_family)
     step = K.make_abund_dist(tracking.storage_kind, tracking._primes,

@@ -766,6 +766,52 @@ void find_all_tags_one(
 
 }  // namespace
 
+// Abundance histogram with tracking-table dedup (reference
+// Hashtable::abundance_distribution, hashtable.cc:451-502): per k-mer
+// in stream order, if the tracking table says unseen, track it and
+// histogram the main count.  dist has MAX_BIGCOUNT+1 (65536) slots;
+// first-seen k-mers whose clamped count is 255 also land in sat_out
+// (unique, order of first encounter) so host Python can re-bin them
+// with the bigcount map.  Returns n sat (or -1 if sat_cap too small).
+long long hg_abund_dist(
+    int main_kind, uint8_t** main_tables, const uint64_t* main_primes,
+    int main_n_tables,
+    int track_kind, uint8_t** track_tables,
+    const uint64_t* track_primes, int track_n_tables,
+    int k, const uint8_t* codes, const int64_t* starts,
+    const int64_t* ends, long long n_reads,
+    uint64_t* dist, uint64_t* sat_out, long long sat_cap) {
+    Tables M{main_kind, main_n_tables, main_tables, main_primes};
+    Tables TR{track_kind, track_n_tables, track_tables, track_primes};
+    Roller R(k);
+    AddStats st;
+    long long n_sat = 0;
+
+    for (long long ri = 0; ri < n_reads; ri++) {
+        int64_t s = starts[ri], e = ends[ri];
+        if (e - s < k) continue;
+        uint64_t f, r;
+        R.seed(codes + s, f, r);
+        uint64_t canon = f < r ? f : r;
+        int64_t pos = s + k;
+        for (;;) {
+            if (table_count(TR, canon) == 0) {
+                add_kmer(TR, canon, st);
+                uint32_t c = table_count(M, canon);
+                dist[c]++;
+                if (c == MAX_KCOUNT) {
+                    if (n_sat >= sat_cap) return -1;
+                    sat_out[n_sat++] = canon;
+                }
+            }
+            if (pos >= e) break;
+            R.step(codes[pos++], f, r);
+            canon = f < r ? f : r;
+        }
+    }
+    return n_sat;
+}
+
 // Commit an array of pre-hashed canonical k-mers (one sequential add
 // each, reference Storage::add semantics).  Returns n_new.
 long long hg_add_hashes(

@@ -321,3 +321,23 @@ def test_sweep_for_tags_engines_match(monkeypatch):
                                         break_on_stop_tags=stop,
                                         stop_big_traversals=big)
                     assert th == td, (q[:20], rng_, stop, big)
+
+
+def test_abundance_distribution_engines_match(monkeypatch):
+    from khmer_tpu import Countgraph, Nodegraph
+    from khmer_tpu.core import pipeline
+
+    reads = _random_reads(300, 90, seed=91, coverage_pool=_pool(93))
+
+    def run(engine):
+        _force(monkeypatch, engine)
+        g = Countgraph(17, 3e4, 4)
+        for r in reads:
+            g.consume(r.cleaned_seq)
+        tracking = Nodegraph(17, 3e4, 4)
+        return pipeline.abundance_distribution(g, list(reads), tracking)
+
+    host = run("host")
+    dev = run("device")
+    assert host == dev
+    assert sum(host) > 0
