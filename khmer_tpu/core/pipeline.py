@@ -30,6 +30,9 @@ _L_LADDER = [64, 128, 256, 512, 1024, 2048, 4096]
 FLAT_CHUNK = 1 << 21
 FLAT_MAX_READS = FLAT_CHUNK // 8
 
+# dense-stream pipeline chunk: pre-hashed k-mers per device step
+DENSE_CHUNK = 1 << 20
+
 
 class FlatPacker:
     """Pack cleaned reads back-to-back into fixed-size 1-D code chunks.
@@ -196,59 +199,215 @@ def make_flat_consume(kind, primes, k, hash_family, with_event_new=False,
                 valid = valid & (counts >= threshold)
             else:
                 valid = valid & (counts <= threshold)
-        if kind == "blocked":
-            from khmer_tpu.core import blocked
+        return _update_dispatch(kind, primes, tables, n_unique,
+                                n_consumed, overflow, hashes, valid,
+                                with_bigcount, with_event_new)
 
-            tables, n_unique, overflow, out = blocked.blocked_update_core(
-                primes[0], tables, n_unique, overflow, hashes, valid,
-                with_event_new)
-            if with_event_new:
-                out["valid"] = valid
-                out["hashes"] = hashes
-            n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
-            return tables, n_unique, n_consumed, overflow, out
-        if K.use_v2_path(kind, primes, W):
-            tables, n_unique, overflow, out = K.v2_update_core(
-                primes, tables, n_unique, overflow, hashes, valid,
-                with_bigcount, with_event_new)
-            if with_event_new:
-                out["valid"] = valid
-                out["hashes"] = hashes
-            n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
-            return tables, n_unique, n_consumed, overflow, out
-        if K.use_image_path(kind, primes):
-            tables, n_unique, out = K.image_update_outputs(
-                primes, tables, n_unique, hashes, valid, with_bigcount,
-                with_event_new)
-            if with_event_new:
-                out["valid"] = valid
-                out["hashes"] = hashes
-            n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
-            return tables, n_unique, n_consumed, overflow, out
-        d = K._dedup_batch(hashes, valid)
-        tables, min_old, any_credit = K._apply_update(kind, primes,
-                                                      tables, d)
-        new_u = d["uvalid"] & any_credit
-        n_unique = n_unique + jnp.sum(
-            jnp.where(new_u, 1, 0)).astype(jnp.uint64)
-        n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
-        out = {}
-        M = hashes.shape[0]
+    return step
+
+
+def _update_dispatch(kind, primes, tables, n_unique, n_consumed, overflow,
+                     hashes, valid, with_bigcount, with_event_new):
+    """Shared post-hash consume dispatch (flat + dense paths)."""
+    W = hashes.shape[0]
+    if kind == "blocked":
+        from khmer_tpu.core import blocked
+
+        tables, n_unique, overflow, out = blocked.blocked_update_core(
+            primes[0], tables, n_unique, overflow, hashes, valid,
+            with_event_new)
         if with_event_new:
-            out["event_new"] = jnp.zeros(M, bool).at[
-                jnp.where(new_u, d["ufirst"], M)].set(True, mode="drop")
             out["valid"] = valid
             out["hashes"] = hashes
-        if with_bigcount:
-            triggers = d["ucnt"] - jnp.maximum(K.MAX_KCOUNT - min_old, 0)
-            sat = d["uvalid"] & (triggers > 0)
-            out["sat_total"] = jnp.sum(sat.astype(jnp.int32))
-            slots = min(K.SAT_SLOTS, M)
-            sat_idx = jnp.nonzero(sat, size=slots, fill_value=M - 1)[0]
-            out["sat_hash"] = jnp.take(d["uh"], sat_idx)
-            out["sat_triggers"] = jnp.where(
-                jnp.take(sat, sat_idx), jnp.take(triggers, sat_idx), 0)
+        n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
         return tables, n_unique, n_consumed, overflow, out
+    if K.use_v2_path(kind, primes, W):
+        tables, n_unique, overflow, out = K.v2_update_core(
+            primes, tables, n_unique, overflow, hashes, valid,
+            with_bigcount, with_event_new)
+        if with_event_new:
+            out["valid"] = valid
+            out["hashes"] = hashes
+        n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
+        return tables, n_unique, n_consumed, overflow, out
+    if K.use_image_path(kind, primes):
+        tables, n_unique, out = K.image_update_outputs(
+            primes, tables, n_unique, hashes, valid, with_bigcount,
+            with_event_new)
+        if with_event_new:
+            out["valid"] = valid
+            out["hashes"] = hashes
+        n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
+        return tables, n_unique, n_consumed, overflow, out
+    d = K._dedup_batch(hashes, valid)
+    tables, min_old, any_credit = K._apply_update(kind, primes,
+                                                  tables, d)
+    new_u = d["uvalid"] & any_credit
+    n_unique = n_unique + jnp.sum(
+        jnp.where(new_u, 1, 0)).astype(jnp.uint64)
+    n_consumed = n_consumed + jnp.sum(valid).astype(jnp.uint64)
+    out = {}
+    M = hashes.shape[0]
+    if with_event_new:
+        out["event_new"] = jnp.zeros(M, bool).at[
+            jnp.where(new_u, d["ufirst"], M)].set(True, mode="drop")
+        out["valid"] = valid
+        out["hashes"] = hashes
+    if with_bigcount:
+        triggers = d["ucnt"] - jnp.maximum(K.MAX_KCOUNT - min_old, 0)
+        sat = d["uvalid"] & (triggers > 0)
+        out["sat_total"] = jnp.sum(sat.astype(jnp.int32))
+        slots = min(K.SAT_SLOTS, M)
+        sat_idx = jnp.nonzero(sat, size=slots, fill_value=M - 1)[0]
+        out["sat_hash"] = jnp.take(d["uh"], sat_idx)
+        out["sat_triggers"] = jnp.where(
+            jnp.take(sat, sat_idx), jnp.take(triggers, sat_idx), 0)
+    return tables, n_unique, n_consumed, overflow, out
+
+
+def _dense_numpy(codes, starts, nfill, k, hash_family):
+    """Numpy fallback for hostengine.hash_dense (same contract)."""
+    chunk = len(codes)
+    W = chunk - k + 1
+    if W <= 0 or nfill < k:
+        return np.zeros(0, np.uint64)
+    rid = np.zeros(chunk, np.int32)
+    s = np.asarray(starts)
+    rid[s[s < chunk]] = 1
+    rid = np.cumsum(rid)
+    valid = (rid[:W] == rid[k - 1:]) & \
+        (np.arange(W, dtype=np.int64) + (k - 1) < nfill)
+    flat = (H.host_hash_windows(codes, k) if hash_family == "twobit"
+            else H.host_murmur_hash_windows(codes, k))
+    return flat[valid]
+
+
+def _dense_tail_size(n, chunk, min_size=4096):
+    """Smallest ladder size >= n: power of two, refined to two mantissa
+    bits (j/8 * 2^e, j in 5..8) — pad waste <= 1/5 of the tail, compiled
+    shapes bounded at ~4 per octave."""
+    if n >= chunk:
+        return chunk
+    size = min_size
+    while size < n:
+        size *= 2
+    if size > min_size:
+        for j in (5, 6, 7):
+            if n <= size // 8 * j:
+                return size // 8 * j
+    return size
+
+
+class DenseHasher:
+    """Host side of the dense consume path: reads in, fixed-shape
+    chunks of canonical k-mer hashes out — with ZERO invalid entries.
+
+    The windowed flat path ships 2-bit code chunks and masks read-
+    boundary/padding windows on device, but XLA prices scatter/gather
+    per *index*, so every masked window still costs full row-op time
+    (~32% of the flagship stream). Hashing on the host (native
+    hg_hash_dense; numpy fallback) lets the device receive only real
+    k-mers. Host hashing overlaps with async device dispatch, so the
+    steady-state rate is the device's dense row-op rate.
+
+    Stream order is preserved end-to-end, so order-dependent statistics
+    (n_unique credit) are bit-identical to the windowed path.
+    """
+
+    def __init__(self, k, hash_family, chunk=DENSE_CHUNK,
+                 pack_chunk=FLAT_CHUNK):
+        self.k = k
+        self.family = hash_family
+        self.chunk = chunk
+        self._packer = FlatPacker(k, chunk=pack_chunk)
+        self._buf = np.empty(chunk, np.uint64)
+        self._fill = 0
+
+    def _hash(self, flat):
+        from khmer_tpu.core import hostengine
+
+        codes, starts, nfill = flat
+        dense = hostengine.hash_dense(codes, starts, nfill, self.k,
+                                      self.family)
+        if dense is None:
+            dense = _dense_numpy(codes, starts, nfill, self.k,
+                                 self.family)
+        return dense
+
+    def _push(self, dense):
+        out = []
+        n = len(dense)
+        pos = 0
+        while n - pos > 0:
+            take = min(self.chunk - self._fill, n - pos)
+            self._buf[self._fill:self._fill + take] = \
+                dense[pos:pos + take]
+            self._fill += take
+            pos += take
+            if self._fill == self.chunk:
+                out.append((self._buf, self.chunk))
+                self._buf = np.empty(self.chunk, np.uint64)
+                self._fill = 0
+        return out
+
+    def add_codes(self, codes):
+        """Add one read's 2-bit codes; returns full (hashes, n) chunks."""
+        out = []
+        for flat in self._packer.add_codes(codes):
+            out.extend(self._push(self._hash(flat)))
+        return out
+
+    def add(self, seq):
+        return self.add_codes(H.encode_dna(seq))
+
+    def add_block(self, codes, offs, lens):
+        """Add a whole native-parser block (one C call, no per-read
+        Python); returns full (hashes, n) chunks. Don't interleave with
+        per-read add() mid-stream — the packer buffer would reorder."""
+        from khmer_tpu.core import hostengine
+
+        dense = hostengine.hash_dense_reads(codes, offs, lens, self.k,
+                                            self.family)
+        if dense is None:
+            out = []
+            for o, ln in zip(offs, lens):
+                if ln >= self.k:
+                    out.extend(self.add_codes(codes[o:o + ln]))
+            return out
+        return self._push(dense)
+
+    def flush(self):
+        """Flush the tail as one ladder-quantized (hashes, n) chunk."""
+        flat = self._packer.flush()
+        out = []
+        if flat is not None:
+            out.extend(self._push(self._hash(flat)))
+        if self._fill:
+            size = _dense_tail_size(self._fill, self.chunk)
+            tail = np.zeros(size, np.uint64)
+            tail[: self._fill] = self._buf[: self._fill]
+            out.append((tail, self._fill))
+            self._fill = 0
+        return out
+
+
+@functools.lru_cache(maxsize=None)
+def make_dense_consume(kind, primes, with_event_new=False,
+                       with_bigcount=False, chunk=DENSE_CHUNK):
+    """One jit for the dense consume hot path: pre-hashed k-mers in,
+    sketch update out (see DenseHasher).
+
+    step(tables, n_unique, n_consumed, overflow, hashes, nvalid)
+      -> (tables, n_unique, n_consumed, overflow, out)
+    """
+    primes = tuple(int(p) for p in primes)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(tables, n_unique, n_consumed, overflow, hashes, nvalid):
+        valid = jnp.arange(chunk, dtype=jnp.int32) < nvalid
+        return _update_dispatch(kind, primes, tables, n_unique,
+                                n_consumed, overflow, hashes, valid,
+                                with_bigcount, with_event_new)
 
     return step
 
@@ -413,6 +572,15 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
     if num_bands:
         band_interval = H.compute_band_interval(num_bands, band)
     chunk = consume_chunk_size(sketch.storage_kind, sketch._primes)
+    with_bigcount = (sketch._use_bigcount
+                     and sketch.storage_kind == "byte")
+    # dense path: host hashes, device updates — zero invalid scatter
+    # slots (band/mask variants keep the windowed path, whose device-
+    # side hashes feed their filters)
+    import os as _os
+
+    use_dense = (mask is None and band_interval is None
+                 and not _os.environ.get("KHMER_TPU_NO_DENSE"))
     steps = {}
 
     def step_for(size):
@@ -420,8 +588,7 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
             steps[size] = make_flat_consume(
                 sketch.storage_kind, sketch._primes, k,
                 sketch.hash_family,
-                with_bigcount=(sketch._use_bigcount
-                               and sketch.storage_kind == "byte"),
+                with_bigcount=with_bigcount,
                 band=band_interval,
                 mask_kind=None if mask is None else mask.storage_kind,
                 mask_primes=None if mask is None else mask._primes,
@@ -430,7 +597,15 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
                 chunk=size)
         return steps[size]
 
-    packer = FlatPacker(k, chunk=chunk)
+    def dense_step_for(size):
+        if size not in steps:
+            steps[size] = make_dense_consume(
+                sketch.storage_kind, sketch._primes,
+                with_bigcount=with_bigcount, chunk=size)
+        return steps[size]
+
+    packer = (DenseHasher(k, sketch.hash_family, pack_chunk=chunk)
+              if use_dense else FlatPacker(k, chunk=chunk))
     n_reads = 0
     tables = sketch.tables
     n_unique = sketch._n_unique
@@ -438,7 +613,25 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
     overflow = jnp.zeros((), bool)
     pending_sat = []
 
-    def commit(chunks):
+    def absorb(out):
+        if "satev_total" in out:
+            # absorb eagerly so the full-event fallback buffers are
+            # released per chunk
+            sketch.tables = tables
+            sketch._absorb_saturation(out)
+        elif "sat_total" in out:
+            pending_sat.append(out)
+
+    def commit_dense(items):
+        nonlocal tables, n_unique, n_consumed, overflow
+        for harr, nvalid in items:
+            tables, n_unique, n_consumed, overflow, out = \
+                dense_step_for(len(harr))(
+                    tables, n_unique, n_consumed, overflow,
+                    jnp.asarray(harr), jnp.int32(nvalid))
+            absorb(out)
+
+    def commit_flat(chunks):
         nonlocal tables, n_unique, n_consumed, overflow
         for codes, starts, nfill in chunks:
             extra = () if mask is None else (mask.tables,)
@@ -447,13 +640,9 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
                 tables, n_unique, n_consumed, overflow,
                 jnp.asarray(codes), jnp.asarray(starts),
                 jnp.int32(nfill), *extra)
-            if "satev_total" in out:
-                # absorb eagerly so the full-event fallback buffers are
-                # released per chunk
-                sketch.tables = tables
-                sketch._absorb_saturation(out)
-            elif "sat_total" in out:
-                pending_sat.append(out)
+            absorb(out)
+
+    commit = commit_dense if use_dense else commit_flat
 
     use_native = False
     if isinstance(source, str) and callback is None:
@@ -464,10 +653,15 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
         from khmer_tpu.io import native
 
         for codes_blk, meta, _ in native.pack_blocks(source):
-            for so, sl, _no, _nl in meta:
-                n_reads += 1
-                if sl >= k:
-                    commit(packer.add_codes(codes_blk[so:so + sl]))
+            if use_dense:
+                n_reads += len(meta)
+                commit(packer.add_block(codes_blk, meta[:, 0],
+                                        meta[:, 1]))
+            else:
+                for so, sl, _no, _nl in meta:
+                    n_reads += 1
+                    if sl >= k:
+                        commit(packer.add_codes(codes_blk[so:so + sl]))
     else:
         for record in records_from(source):
             seq = record.cleaned_seq
@@ -477,7 +671,7 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
             if callback is not None and callback_every \
                     and n_reads % callback_every == 0:
                 callback(n_reads)
-    commit(packer.flush_ladder())
+    commit(packer.flush() if use_dense else packer.flush_ladder())
 
     sketch.tables = tables
     sketch._n_unique = n_unique

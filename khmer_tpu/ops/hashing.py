@@ -235,6 +235,90 @@ def host_hash_windows(codes, k):
     return np.minimum(f, r)
 
 
+def host_murmur_hash_windows(codes, k):
+    """Canonical murmur window hashes on the host (numpy).
+
+    Same word-packing + vectorized MurmurHash3_x64_128 as the device
+    implementation below, in numpy u64 (wrapping) arithmetic — bit-
+    identical to _hash_murmur_scalar. Fallback dense hasher for the
+    murmur family when the native library is unavailable.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    W = codes.shape[0] - k + 1
+    if W <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    chars_f = _CHAR_ASCII[codes].astype(np.uint64)
+    chars_r = _CHAR_ASCII[codes ^ 1].astype(np.uint64)
+    nwords = (k + 7) // 8
+
+    def words(chars, rc):
+        out = []
+        for m in range(nwords):
+            w = np.zeros(W, dtype=np.uint64)
+            for b in range(8):
+                t = m * 8 + b
+                if t >= k:
+                    break
+                pos = (k - 1 - t) if rc else t
+                w |= chars[pos:pos + W] << np.uint64(8 * b)
+            out.append(w)
+        return out
+
+    def murmur(ws):
+        c1 = np.uint64(0x87C37B91114253D5)
+        c2 = np.uint64(0x4CF5AD432745937F)
+        h1 = np.zeros(W, dtype=np.uint64)
+        h2 = np.zeros(W, dtype=np.uint64)
+
+        def rotl(x, r):
+            return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+        def fmix(kk):
+            kk = kk ^ (kk >> np.uint64(33))
+            kk = kk * np.uint64(0xFF51AFD7ED558CCD)
+            kk = kk ^ (kk >> np.uint64(33))
+            kk = kk * np.uint64(0xC4CEB9FE1A85EC53)
+            return kk ^ (kk >> np.uint64(33))
+
+        nblocks = k // 16
+        for b in range(nblocks):
+            k1 = ws[2 * b] * c1
+            k1 = rotl(k1, 31) * c2
+            h1 = h1 ^ k1
+            h1 = rotl(h1, 27) + h2
+            h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+            k2 = ws[2 * b + 1] * c2
+            k2 = rotl(k2, 33) * c1
+            h2 = h2 ^ k2
+            h2 = rotl(h2, 31) + h1
+            h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+        taillen = k % 16
+        if taillen > 8:
+            k2 = ws[2 * nblocks + 1] * c2
+            h2 = h2 ^ (rotl(k2, 33) * c1)
+        if taillen > 0:
+            k1 = ws[2 * nblocks] * c1
+            h1 = h1 ^ (rotl(k1, 31) * c2)
+        h1 = h1 ^ np.uint64(k)
+        h2 = h2 ^ np.uint64(k)
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = fmix(h1)
+        h2 = fmix(h2)
+        return h1 + h2
+
+    h = murmur(words(chars_f, rc=False))
+    r = murmur(words(chars_r, rc=True))
+    # palindrome <=> 2-bit forward == 2-bit reverse encoding
+    c64 = codes.astype(np.uint64)
+    f2 = np.zeros(W, dtype=np.uint64)
+    r2 = np.zeros(W, dtype=np.uint64)
+    for j in range(k):
+        f2 |= c64[j:j + W] << np.uint64(2 * (k - 1 - j))
+        r2 |= (c64[j:j + W] ^ np.uint64(1)) << np.uint64(2 * j)
+    return np.where(f2 == r2, h, h ^ r)
+
+
 def rolling_hash_windows(codes, k: int):
     """Compute (canonical, f, r) 2-bit hashes for every k-window.
 

@@ -1355,4 +1355,74 @@ void hg_median_counts(
     }
 }
 
+// ---------------------------------------------------------------------
+// Dense canonical window hashes of a flat packed chunk (family 0 =
+// 2-bit rolling, 1 = murmur; reference src/oxli/kmer_hash.cc:65-208).
+// `starts` are the ascending read-start offsets within `codes` (pad
+// entries >= nfill are ignored); windows never span a read boundary.
+// Feeds the device tier's dense consume path: every emitted hash is a
+// real k-mer, so the TPU-side row ops pay zero padding tax.  Writes
+// hashes in stream order; returns the count.
+long long hg_hash_dense(
+    const uint8_t* codes, long long nfill,
+    const int32_t* starts, long long nstarts,
+    int k, int family, uint64_t* out) {
+    long long w = 0;
+    Roller R(k);
+    char fwd[64], rev[64];
+    long long si = 0;
+    long long seg = 0;
+    while (seg < nfill) {
+        while (si < nstarts && (long long)starts[si] <= seg) si++;
+        long long end = (si < nstarts && (long long)starts[si] < nfill)
+                            ? (long long)starts[si]
+                            : nfill;
+        if (end - seg >= k) {
+            if (family == 0) {
+                uint64_t f, r;
+                R.seed(codes + seg, f, r);
+                out[w++] = f < r ? f : r;
+                for (long long i = seg + k; i < end; i++) {
+                    R.step(codes[i], f, r);
+                    out[w++] = f < r ? f : r;
+                }
+            } else {
+                for (long long i = seg; i + k <= end; i++)
+                    out[w++] = murmur_canonical(codes + i, k, fwd, rev);
+            }
+        }
+        seg = end;
+    }
+    return w;
+}
+
+// Same contract, over a native-parser block: one C call hashes every
+// read of a pack_blocks() batch (offs/lens rows of the block meta), so
+// the host side of the dense pipeline has no per-read Python cost.
+long long hg_hash_dense_reads(
+    const uint8_t* codes, const int64_t* offs, const int64_t* lens,
+    long long n_reads, int k, int family, uint64_t* out) {
+    long long w = 0;
+    Roller R(k);
+    char fwd[64], rev[64];
+    for (long long ri = 0; ri < n_reads; ri++) {
+        const uint8_t* c = codes + offs[ri];
+        long long len = lens[ri];
+        if (len < k) continue;
+        if (family == 0) {
+            uint64_t f, r;
+            R.seed(c, f, r);
+            out[w++] = f < r ? f : r;
+            for (long long i = k; i < len; i++) {
+                R.step(c[i], f, r);
+                out[w++] = f < r ? f : r;
+            }
+        } else {
+            for (long long i = 0; i + k <= len; i++)
+                out[w++] = murmur_canonical(c + i, k, fwd, rev);
+        }
+    }
+    return w;
+}
+
 }  // extern "C"
