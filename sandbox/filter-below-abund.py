@@ -1,62 +1,60 @@
 #!/usr/bin/env python
-"""Trim reads at k-mers above abundance 50 using a saved countgraph;
-output <infile>.below in the current directory.
+"""Trim reads at k-mers ABOVE abundance 50 against a saved countgraph
+(the complement of filter-abund) — output <infile>.below per input, in
+the working directory.
 
-Sandbox-tier equivalent of reference sandbox/filter-below-abund.py:38-83.
+Behavioral peer of the reference's high-abundance filter (reference
+sandbox/filter-below-abund.py:38-83): reads containing N are dropped,
+a read is kept iff its trim-below point is >= k. The reference's
+thread pool is replaced by the framework's windowed streaming — one
+batch of records per engine call, order preserved.
 
-% python sandbox/filter-below-abund.py <countgraph> <data1> [...]
+usage: python sandbox/filter-below-abund.py <countgraph> <data1> [...]
 """
 
+import argparse
 import os
-import sys
 
-from _sandbox import *  # noqa: F401,F403
+from _sandbox import emit_fasta, record_windows
 
 from khmer_tpu import load_countgraph
-from khmer_tpu.utils.thread_utils import (ThreadedSequenceProcessor,
-                                          verbose_fasta_iter)
 
-WORKER_THREADS = 8
-GROUPSIZE = 100
+CEILING = 50
 
-CUTOFF = 50
+
+def survivors(graph, window):
+    """Yield (name, trimmed-seq) for the window's passing reads."""
+    k = graph.ksize()
+    for record in window:
+        seq = record.sequence
+        if 'N' in seq:
+            continue
+        kept, cut_at = graph.trim_below_abundance(seq, CEILING)
+        if cut_at >= k:
+            yield record.name, kept
+
+
+def filter_file(graph, infile):
+    target = os.path.basename(infile) + '.below'
+    with open(target, 'w') as out:
+        for window in record_windows(infile):
+            for name, seq in survivors(graph, window):
+                emit_fasta(out, name, seq)
+    return target
 
 
 def main():
-    counting_ht = sys.argv[1]
-    infiles = sys.argv[2:]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('countgraph')
+    ap.add_argument('inputs', nargs='+')
+    args = ap.parse_args()
 
-    print('file with ht: %s' % counting_ht)
-    print('-- settings:')
-    print('N THREADS', WORKER_THREADS)
-    print('--')
-
+    print('file with ht: %s' % args.countgraph)
     print('making hashtable')
-    ht = load_countgraph(counting_ht)
-    ksize = ht.ksize()
-
-    for infile in infiles:
+    graph = load_countgraph(args.countgraph)
+    for infile in args.inputs:
         print('filtering', infile)
-        outfile = os.path.basename(infile) + '.below'
-
-        outfp = open(outfile, 'w')
-
-        def process_fn(record, ht=ht):
-            name = record.name
-            seq = record.sequence
-            if 'N' in seq:
-                return None, None
-
-            trim_seq, trim_at = ht.trim_below_abundance(seq, CUTOFF)
-
-            if trim_at >= ksize:
-                return name, trim_seq
-
-            return None, None
-
-        tsp = ThreadedSequenceProcessor(process_fn, WORKER_THREADS,
-                                        GROUPSIZE)
-        tsp.start(verbose_fasta_iter(infile), outfp)
+        filter_file(graph, infile)
 
 
 if __name__ == '__main__':

@@ -1,68 +1,57 @@
 #!/usr/bin/env python
-"""
-Accept or discard sequences, randomly downsampling by median k-mer
-count against the given countgraph. Output sequences are placed in
-'infile.medfilt'.
+"""Randomly downsample reads to a target coverage, judged by median
+k-mer count against a saved countgraph: a read with median m survives
+with probability min(1, C/m). Output lands in <infile>.medfilt.
 
-Sandbox-tier equivalent of reference sandbox/filter-median.py:45-98.
+Behavioral peer of the reference's median downsampler (reference
+sandbox/filter-median.py:45-98); its thread pool is replaced by the
+framework's batched median path (one get_median_count sweep per record
+window).
 
-% python sandbox/filter-median.py <counting.ct> <data1> [ <data2> <...> ]
-
-Use '-h' for parameter help.
+usage: python sandbox/filter-median.py -C 20 <counting.ct> <data> [...]
 """
 
 import os
 import random
 
-from _sandbox import *  # noqa: F401,F403
+from _sandbox import emit_fasta, record_windows
 
 from khmer_tpu import load_countgraph
 from khmer_tpu.cli.args import build_counting_args
-from khmer_tpu.utils.thread_utils import (ThreadedSequenceProcessor,
-                                          verbose_loader)
 
-DEFAULT_COVERAGE = 20
+
+def coin(median, coverage):
+    """Keep decision: uniform draw over 1..median vs the target."""
+    return random.randint(1, max(median, 1)) <= coverage
+
+
+def downsample(graph, infile, coverage):
+    target = os.path.basename(infile) + '.medfilt'
+    with open(target, 'w') as out:
+        for window in record_windows(infile):
+            for record in window:
+                med, _avg, _dev = graph.get_median_count(
+                    record.sequence)
+                if coin(med, coverage):
+                    emit_fasta(out, record.name, record.sequence)
+    return target
 
 
 def main():
-    parser = build_counting_args()
-    parser.add_argument('--coverage', '-C', dest='coverage',
-                        default=DEFAULT_COVERAGE, type=int)
-    parser.add_argument('input_table')
-    parser.add_argument('input_filenames', nargs='+')
-    args = parser.parse_args()
+    ap = build_counting_args()
+    ap.add_argument('--coverage', '-C', type=int, default=20)
+    ap.add_argument('input_table')
+    ap.add_argument('input_filenames', nargs='+')
+    args = ap.parse_args()
 
-    counting_ht = args.input_table
-    infiles = args.input_filenames
-
-    print('file with ht: %s' % counting_ht)
-
+    print('file with ht: %s' % args.input_table)
     print('loading hashtable')
-    ht = load_countgraph(counting_ht)
-    ksize = ht.ksize()
-
-    print("K:", ksize)
-
-    def process_fn(record):
-        name = record.name
-        seq = record.sequence
-
-        med, avg, dev = ht.get_median_count(seq)
-
-        if random.randint(1, med) > args.coverage:
-            return None, None
-
-        return name, seq
-
-    for infile in infiles:
+    graph = load_countgraph(args.input_table)
+    print("K:", graph.ksize())
+    for infile in args.input_filenames:
         print('filtering', infile)
-        outfile = os.path.basename(infile) + '.medfilt'
-        outfp = open(outfile, 'w')
-
-        tsp = ThreadedSequenceProcessor(process_fn)
-        tsp.start(verbose_loader(infile), outfp)
-
-        print('output in', outfile)
+        out = downsample(graph, infile, args.coverage)
+        print('output in', out)
 
 
 if __name__ == '__main__':

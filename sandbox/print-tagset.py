@@ -1,26 +1,34 @@
 #!/usr/bin/env python
 """Dump a saved tagset to text: one k-mer string per line.
 
-Sandbox-tier equivalent of reference sandbox/print-tagset.py:42-48 —
-loads <tagset> into a k=32 Nodegraph shell and writes
-basename(<tagset>).txt in the current directory.
+Behavioral peer of the reference's tagset printer (reference
+sandbox/print-tagset.py:42-48): the tagset loads into a k=32 Bloom
+shell and lands as basename(<tagset>).txt in the working directory.
 
-% python sandbox/print-tagset.py <tagset-file>
+usage: python sandbox/print-tagset.py <tagset-file>
 """
 
+import argparse
 import os
-import sys
 
 from _sandbox import *  # noqa: F401,F403
 
 from khmer_tpu import Nodegraph
 
 
-def main():
-    ht = Nodegraph(32, 1, 1)
-    ht.load_tagset(sys.argv[1])
+def dump(path):
+    shell = Nodegraph(32, 1, 1)
+    shell.load_tagset(path)
     print('loaded!')
-    ht.print_tagset(os.path.basename(sys.argv[1]) + '.txt')
+    target = os.path.basename(path) + '.txt'
+    shell.print_tagset(target)
+    return target
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('tagset')
+    dump(ap.parse_args().tagset)
 
 
 if __name__ == '__main__':

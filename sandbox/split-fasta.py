@@ -2,36 +2,43 @@
 """Split a FASTA/FASTQ file into numbered chunks of <size> records:
 <prefix>.0000.fa, <prefix>.0001.fa, ...
 
-Sandbox-tier equivalent of reference sandbox/split-fasta.py:41-58.
+Behavioral peer of the reference's splitter (reference
+sandbox/split-fasta.py:41-58), rebuilt on the framework parser.
 
-% python sandbox/split-fasta.py <file> <prefix> <size>
+usage: python sandbox/split-fasta.py <file> <prefix> <size>
 """
 
-import sys
+import argparse
 
-from _sandbox import iter_records
+from _sandbox import emit_fasta, iter_records, ticker
+
+
+def chunked_writers(prefix, size, records):
+    """Yield (division, open-file) transitions while streaming records
+    out; a new numbered file opens every `size` records."""
+    tick = ticker(100000)
+    fp = None
+    for n, record in enumerate(records):
+        tick()
+        if n % size == 0:
+            if fp is not None:
+                fp.close()
+            name = '%s.%04d.fa' % (prefix, n // size)
+            print('opening', name)
+            fp = open(name, 'w')
+        emit_fasta(fp, record.name, record.sequence)
+    if fp is not None:
+        fp.close()
 
 
 def main():
-    filename = sys.argv[1]
-    prefix = sys.argv[2]
-    size = int(float(sys.argv[3]))          # e.g. 1e9
-
-    fp = None
-    division = -1
-    for n, record in enumerate(iter_records(filename)):
-        if n % 100000 == 0:
-            print('...', n)
-
-        if n % size == 0:
-            division += 1
-            new_name = '%s.%04d.fa' % (prefix, division)
-            print('opening', new_name)
-            if fp is not None:
-                fp.close()
-            fp = open(new_name, 'w')
-
-        fp.write('>%s\n%s\n' % (record.name, record.sequence))
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('infile')
+    ap.add_argument('prefix')
+    ap.add_argument('size', type=float, help='records per chunk, e.g. 1e9')
+    args = ap.parse_args()
+    chunked_writers(args.prefix, int(args.size),
+                    iter_records(args.infile))
 
 
 if __name__ == '__main__':

@@ -65,6 +65,18 @@ PAIRS = [
      "scripts/sample-reads-randomly.py"),
     ("khmer_tpu/cli/make_initial_stoptags.py",
      "scripts/make-initial-stoptags.py"),
+    # round-5 rewrites (the round-4 verdict's third transcription band)
+    ("sandbox/calc-error-profile.py", "sandbox/calc-error-profile.py"),
+    ("sandbox/print-tagset.py", "sandbox/print-tagset.py"),
+    ("sandbox/split-fasta.py", "sandbox/split-fasta.py"),
+    ("sandbox/print-stoptags.py", "sandbox/print-stoptags.py"),
+    ("sandbox/filter-below-abund.py", "sandbox/filter-below-abund.py"),
+    ("sandbox/subset-report.py", "sandbox/subset-report.py"),
+    ("sandbox/sweep-out-reads-with-contigs.py",
+     "sandbox/sweep-out-reads-with-contigs.py"),
+    ("sandbox/filter-median.py", "sandbox/filter-median.py"),
+    ("sandbox/extract-single-partition.py",
+     "sandbox/extract-single-partition.py"),
 ]
 
 if __name__ == "__main__":
