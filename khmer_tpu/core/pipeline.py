@@ -283,18 +283,20 @@ def _dense_numpy(codes, starts, nfill, k, hash_family):
 
 
 def _dense_tail_size(n, chunk, min_size=4096):
-    """Smallest ladder size >= n: power of two, refined to two mantissa
-    bits (j/8 * 2^e, j in 5..8) — pad waste <= 1/5 of the tail, compiled
-    shapes bounded at ~4 per octave."""
+    """Smallest ladder size >= n: power of two, refined to three
+    mantissa bits (j/16 * 2^e, j in 9..16) — pad waste < 1/9 of the
+    tail, compiled shapes bounded at 8 per octave (only sizes actually
+    seen compile)."""
     if n >= chunk:
         return chunk
     size = min_size
     while size < n:
         size *= 2
     if size > min_size:
-        for j in (5, 6, 7):
-            if n <= size // 8 * j:
-                return size // 8 * j
+        step = size // 16
+        for j in range(9, 16):
+            if n <= step * j:
+                return step * j
     return size
 
 

@@ -69,7 +69,7 @@ def _dedup_batch(hashes, valid, idx=None):
     M = hashes.shape[0]
     if idx is None:
         idx = jnp.arange(M, dtype=jnp.int32)
-    inv = jnp.where(valid, jnp.int32(0), jnp.int32(1))
+    inv = jnp.where(valid, jnp.uint8(0), jnp.uint8(1))
     inv_s, h_s, idx_s = jax.lax.sort((inv, hashes, idx), num_keys=2)
     v_s = inv_s == 0
     first = v_s & ((jnp.arange(M) == 0)
@@ -416,7 +416,7 @@ def _run_stats(hashes, valid):
     """
     M = hashes.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
-    inv = jnp.where(valid, jnp.int32(0), jnp.int32(1))
+    inv = jnp.where(valid, jnp.uint8(0), jnp.uint8(1))
     inv_s, h_s, idx_s = jax.lax.sort((inv, hashes, idx), num_keys=2)
     v_s = inv_s == 0
     head = v_s & ((idx == 0) | (h_s != jnp.roll(h_s, 1))
@@ -439,7 +439,7 @@ def _sort_compact(flags, size):
     """
     n = flags.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(flags, jnp.int32(0), jnp.int32(1))
+    key = jnp.where(flags, jnp.uint8(0), jnp.uint8(1))
     _, pos_s = jax.lax.sort((key, pos), num_keys=1)
     live = jnp.arange(size) < jnp.sum(flags.astype(jnp.int32))
     return jnp.where(live, pos_s[:size], jnp.int32(n))

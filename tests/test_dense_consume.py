@@ -183,15 +183,15 @@ def test_dense_bigcount_parity():
 
 def test_dense_tail_size_ladder():
     assert pipeline._dense_tail_size(10, 1 << 20) == 4096
-    assert pipeline._dense_tail_size(4097, 1 << 20) == 5120
-    assert pipeline._dense_tail_size(5121, 1 << 20) == 6144
+    assert pipeline._dense_tail_size(4097, 1 << 20) == 4608
+    assert pipeline._dense_tail_size(5121, 1 << 20) == 5632
     assert pipeline._dense_tail_size(8000, 1 << 20) == 8192
-    assert pipeline._dense_tail_size(200320, 1 << 20) == 229376
+    assert pipeline._dense_tail_size(200320, 1 << 20) == 212992
     assert pipeline._dense_tail_size(1 << 21, 1 << 20) == 1 << 20
-    # quantization waste is bounded: worst step ratio is 5/4
+    # quantization waste is bounded: worst step ratio is 9/8
     for n in range(4097, 1 << 16, 997):
         s = pipeline._dense_tail_size(n, 1 << 20)
-        assert n <= s <= max(n * 5 // 4 + 4, 4096)
+        assert n <= s <= max(n * 9 // 8 + 8, 4096)
 
 
 def test_dense_empty_and_short():
