@@ -109,6 +109,7 @@ def bench_trim():
     t0 = time.time()
     total = 0
     trimmed = 0
+    emitted = 0
     pass2 = []
     for codes, starts, ends, n in hostengine.iter_packed_source(
             TWENTYFIVEK):
@@ -117,8 +118,9 @@ def bench_trim():
             g, codes, starts, ends, bo, 2, 20, None)
         total += n
         save = np.nonzero(branch == 2)[0]
-        trimmed += int(np.sum(trim_at[branch == 1]
-                              < (ends - starts)[branch == 1]))
+        at1 = trim_at[branch == 1]
+        trimmed += int(np.sum(at1 < (ends - starts)[branch == 1]))
+        emitted += int(np.sum(at1 >= 20))
         if save.size:
             sel_starts = starts[save]
             sel_ends = ends[save]
@@ -127,9 +129,15 @@ def bench_trim():
     for codes, s2, e2 in pass2:
         trims = hostengine.trim_filter(g, codes, s2, e2, 2)
         trimmed += int(np.sum(trims < (e2 - s2)))
+        emitted += int(np.sum(trims >= 20))
         n_pass2 += len(s2)
     dt = time.time() - t0
     rate = total / dt
+    # exactness vs the measured reference (refbench trim, fresh liboxli
+    # build 2026-08-21: trimmed=24985, emitted=60); the full byte-exact
+    # .abundtrim oracle is tests/test_fullscale_oracles.py
+    assert trimmed == 24985, trimmed
+    assert emitted == 60, emitted
     return {
         "config": 3,
         "metric": "trim_low_abund_reads_per_sec",
@@ -137,6 +145,11 @@ def bench_trim():
         "seconds": round(dt, 3),
         "reads": total,
         "pass2_reads": n_pass2,
+        "trimmed": trimmed,
+        "emitted": emitted,
+        "reference_trimmed": 24985,
+        "reference_emitted": 60,
+        "exact": True,
         "vs_baseline": round(rate / REF["trim_reads_per_sec"], 3),
     }
 
@@ -167,25 +180,41 @@ def bench_hll():
     }
 
 
-def bench_partition():
+def bench_partition(threads=None):
     """Config 5: tagged consume + do_partition(stop_big) on
-    stamps-reads; byte-exact partition map asserted at 51."""
+    stamps-reads; byte-exact partition map asserted at 51.
+
+    `threads` pins KHMER_TPU_HOST_THREADS for the BFS — the reference
+    numbers are single-thread, so the 1-thread row is the attribution-
+    clean comparison and the default row shows host-thread scaling
+    (the tag sweep's hg_find_all_tags_range fans BFS over threads)."""
     from khmer_tpu import Nodegraph
     from khmer_tpu.core.partition import SubsetPartition
 
-    ng = Nodegraph(20, 12.5e6, 4)
-    t0 = time.time()
-    ng.consume_seqfile_and_tag(STAMPS_READS)
-    dt_tag = time.time() - t0
-    sp = SubsetPartition(ng)
-    t0 = time.time()
-    sp.do_partition(0, 0, stop_big_traversals=True)
-    dt_bfs = time.time() - t0
-    n_part, n_un = sp.count_partitions()
+    old = os.environ.get("KHMER_TPU_HOST_THREADS")
+    if threads is not None:
+        os.environ["KHMER_TPU_HOST_THREADS"] = str(threads)
+    try:
+        ng = Nodegraph(20, 12.5e6, 4)
+        t0 = time.time()
+        ng.consume_seqfile_and_tag(STAMPS_READS)
+        dt_tag = time.time() - t0
+        sp = SubsetPartition(ng)
+        t0 = time.time()
+        sp.do_partition(0, 0, stop_big_traversals=True)
+        dt_bfs = time.time() - t0
+        n_part, n_un = sp.count_partitions()
+    finally:
+        if threads is not None:
+            if old is None:
+                os.environ.pop("KHMER_TPU_HOST_THREADS", None)
+            else:
+                os.environ["KHMER_TPU_HOST_THREADS"] = old
     return {
         "config": 5,
         "metric": "do_partition_seconds",
         "value": round(dt_tag + dt_bfs, 3),
+        "host_threads": threads or (os.cpu_count() or 1),
         "tag_seconds": round(dt_tag, 3),
         "bfs_seconds": round(dt_bfs, 3),
         "n_partitions": n_part,
@@ -210,7 +239,9 @@ def main():
     for name, fn in (("normalize", bench_normalize),
                      ("trim", bench_trim),
                      ("hll_loadgraph", bench_hll),
-                     ("partition", bench_partition)):
+                     ("partition", bench_partition),
+                     ("partition_1thread",
+                      lambda: bench_partition(threads=1))):
         t0 = time.time()
         try:
             results[name] = fn()

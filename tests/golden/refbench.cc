@@ -120,6 +120,89 @@ int main(int argc, char** argv) {
                "\"pass2_seconds\":%.3f,\"total\":%lu,\"pass2\":%zu,"
                "\"trimmed\":%lu,\"emitted\":%lu}\n",
                t_p1, t_p2, total, pass2.size(), trimmed, emitted);
+    } else if (mode == "trimout") {
+        // write the exact .abundtrim bytes scripts/trim-low-abund.py
+        // would emit for defaults -C 2 -Z 20 on an unpaired FASTQ
+        // stream (khmer/trimming.py:38-66 trim_record; utils.py:120
+        // write_record; reads < k dropped by broken_paired_reader's
+        // min_length=k). Oracle for the repo's full-scale md5 test.
+        const int CUTOFF = 2, TRIM_AT = 20;
+        const unsigned K = 20;
+        std::vector<uint64_t> sizes = get_n_primes_near_x(4, 25000000);
+        Countgraph cg(20, sizes);
+        auto parser = get_parser<FastxReader>(path);
+        FILE* out = fopen(argv[3], "w");
+        std::vector<Read> pass2;
+        auto emit = [&](const Read& r, unsigned long at) {
+            // trim_record: at < k -> drop; at == len -> unmodified
+            std::string s = r.sequence, q = r.quality;
+            if (at < r.sequence.size()) {
+                s = r.sequence.substr(0, at);
+                q = q.empty() ? q : r.quality.substr(0, at);
+            }
+            if (q.empty())
+                fprintf(out, ">%s\n%s\n", r.name.c_str(), s.c_str());
+            else
+                fprintf(out, "@%s\n%s\n+\n%s\n", r.name.c_str(),
+                        s.c_str(), q.c_str());
+        };
+        while (!parser->is_complete()) {
+            Read read;
+            try { read = parser->get_next_read(); }
+            catch (NoMoreReadsAvailable&) { break; }
+            if (read.sequence.size() < K) continue;  // min_length=k
+            read.set_clean_seq();
+            BoundedCounterType med; float avg, dev;
+            cg.get_median_count(read.cleaned_seq, med, avg, dev);
+            if (med >= TRIM_AT) {
+                unsigned long at =
+                    cg.trim_on_abundance(read.cleaned_seq, CUTOFF);
+                if (at >= K) emit(read, at);
+            } else {
+                cg.consume_string(read.cleaned_seq);
+                pass2.push_back(read);
+            }
+        }
+        for (Read& read : pass2) {
+            unsigned long at =
+                cg.trim_on_abundance(read.cleaned_seq, CUTOFF);
+            if (at >= K) emit(read, at);
+        }
+        fclose(out);
+        printf("{\"mode\":\"trimout\",\"out\":\"%s\"}\n", argv[3]);
+    } else if (mode == "normout") {
+        // write the exact .keep bytes scripts/normalize-by-median.py
+        // would emit (Normalizer.__call__: keep iff NOT median_at_least
+        // (cleaned, C), then consume; records written raw via
+        // utils.write_record; reads < k dropped by min_length=k).
+        const unsigned K = 20;
+        int C = atoi(argv[3]);
+        std::vector<uint64_t> sizes = get_n_primes_near_x(4, 100000000);
+        Countgraph cg(20, sizes);
+        auto parser = get_parser<FastxReader>(path);
+        FILE* out = fopen(argv[4], "w");
+        unsigned long kept = 0, total = 0;
+        while (!parser->is_complete()) {
+            Read read;
+            try { read = parser->get_next_read(); }
+            catch (NoMoreReadsAvailable&) { break; }
+            if (read.sequence.size() < K) continue;
+            read.set_clean_seq();
+            total++;
+            if (!cg.median_at_least(read.cleaned_seq, C)) {
+                cg.consume_string(read.cleaned_seq);
+                if (read.quality.empty())
+                    fprintf(out, ">%s\n%s\n", read.name.c_str(),
+                            read.sequence.c_str());
+                else
+                    fprintf(out, "@%s\n%s\n+\n%s\n", read.name.c_str(),
+                            read.sequence.c_str(), read.quality.c_str());
+                kept++;
+            }
+        }
+        fclose(out);
+        printf("{\"mode\":\"normout\",\"total\":%lu,\"kept\":%lu}\n",
+               total, kept);
     } else if (mode == "hll") {
         HLLCounter hll(0.01, 20);
         auto t0 = Clock::now();
