@@ -52,7 +52,7 @@ def _u64(x):
 # --------------------------------------------------------------------------
 
 
-def _dedup_batch(hashes, valid, idx=None):
+def _dedup_batch(hashes, valid, idx=None, with_slot_map=False):
     """Sort + dedup a batch of hashes preserving batch-order information.
 
     Returns dict with, per "unique slot" (M slots; inactive padded):
@@ -60,6 +60,10 @@ def _dedup_batch(hashes, valid, idx=None):
       ucnt     [M] i32   occurrences in batch (0 for inactive slots)
       ufirst   [M] i32   smallest batch index among occurrences
       uvalid   [M] bool  slot active
+      slot_seg [M] i32   (with_slot_map) unique-slot id per ORIGINAL
+                         batch position (M for invalid entries) — lets
+                         callers project per-unique results back onto
+                         per-event order without a second sort
 
     `idx` overrides the per-event order key (default: position in the
     batch) — the routed sharded consume passes GLOBAL stream indices so
@@ -70,7 +74,12 @@ def _dedup_batch(hashes, valid, idx=None):
     if idx is None:
         idx = jnp.arange(M, dtype=jnp.int32)
     inv = jnp.where(valid, jnp.uint8(0), jnp.uint8(1))
-    inv_s, h_s, idx_s = jax.lax.sort((inv, hashes, idx), num_keys=2)
+    if with_slot_map:
+        pos = jnp.arange(M, dtype=jnp.int32)
+        inv_s, h_s, idx_s, pos_s = jax.lax.sort(
+            (inv, hashes, idx, pos), num_keys=2)
+    else:
+        inv_s, h_s, idx_s = jax.lax.sort((inv, hashes, idx), num_keys=2)
     v_s = inv_s == 0
     first = v_s & ((jnp.arange(M) == 0)
                    | (h_s != jnp.roll(h_s, 1))
@@ -85,7 +94,10 @@ def _dedup_batch(hashes, valid, idx=None):
     uh = jax.ops.segment_max(h_s, seg, num_segments=M,
                              indices_are_sorted=True)
     uvalid = ucnt > 0
-    return {"uh": uh, "ucnt": ucnt, "ufirst": ufirst, "uvalid": uvalid}
+    out = {"uh": uh, "ucnt": ucnt, "ufirst": ufirst, "uvalid": uvalid}
+    if with_slot_map:
+        out["slot_seg"] = jnp.zeros(M, jnp.int32).at[pos_s].set(seg)
+    return out
 
 
 def _group_by_bin(bins, ufirst, active):

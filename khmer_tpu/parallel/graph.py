@@ -50,7 +50,15 @@ class ShardedNodegraph:
     storage_kind = "bit"
     hash_family = "twobit"
 
-    def __init__(self, graph, mesh, route=True, route_slack=4.0):
+    def __init__(self, graph, mesh, route="auto", route_slack=2.0):
+        if route == "auto":
+            # measured (SCALING_r05.json probe sweep, 8Ki..2Mi
+            # candidates): a membership probe is one bit-test per
+            # element, so routing's slot bookkeeping costs more than it
+            # saves at every size on the CPU mesh — broadcast is the
+            # production path; route=True stays available for real-ICI
+            # pods where the psum's O(n*D) traffic is the bottleneck
+            route = False
         if graph.storage_kind != "bit":
             raise ValueError("ShardedNodegraph wraps a Nodegraph "
                              "(bit storage), got %r"
@@ -191,18 +199,26 @@ def _make_sharded_contains(primes, shard_bytes, mesh, n):
 
 @functools.lru_cache(maxsize=None)
 def _make_sharded_contains_routed(primes, shard_bytes, mesh, n, slack):
-    """Routed membership: candidates sharded P(AXIS); two all_to_alls
-    per table (query to owner, verdict back).  Returns (present u16
-    replicated-by-assembly, overflow bool)."""
+    """Routed membership: candidates sharded P(AXIS); ONE pair of
+    all_to_alls for ALL tables (query to owner, verdict back) — the
+    send buffer's slot layout [dst: [t0: C][t1: C]...] tells the
+    receiver each entry's table statically, so the T-fold collective
+    latency of the per-table version is gone (r04's routed probes lost
+    to broadcast at every D exactly because each probe paid 2*T
+    all_to_alls). Returns (present u16 assembled, overflow bool)."""
     D = mesh.devices.size
+    T = len(primes)
     nl = n // D                        # candidates per device
-    C = max(4, -(-int(nl * slack) // D))  # per (src, dst) capacity
+    from khmer_tpu.parallel.sharded import _route_capacity
+    C = max(4, _route_capacity(nl, D, slack))  # per (table, src, dst)
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def get(tables, hashes):
         def body(tables, hashes_local):
             d_idx = jax.lax.axis_index(AXIS)
-            missing = jnp.zeros(nl, jnp.int32)
             over_any = jnp.zeros((), bool)
+            send = jnp.full(D * T * C, SENT)
+            slots = []
             for t, p in enumerate(primes):
                 sb = shard_bytes[t]
                 bins = hashes_local % np.uint64(p)
@@ -214,28 +230,35 @@ def _make_sharded_contains_routed(primes, shard_bytes, mesh, n, slack):
                                        axis=0) - 1, 0), axis=1)
                 over = rank >= C
                 over_any = over_any | jnp.any(over)
-                slot = jnp.where(over, jnp.int32(D * C),
-                                 owner * C + rank)
-                send = jnp.full(D * C, np.uint64(0xFFFFFFFFFFFFFFFF)
-                                ).at[slot].set(hashes_local,
-                                               mode="drop")
-                q = jax.lax.all_to_all(send.reshape(D, C), AXIS, 0, 0,
-                                       tiled=False).reshape(D * C)
-                qbins = q % np.uint64(p)
+                slot = jnp.where(over, jnp.int32(D * T * C),
+                                 owner * (T * C) + t * C + rank)
+                send = send.at[slot].set(hashes_local, mode="drop")
+                slots.append(slot)
+            q = jax.lax.all_to_all(send.reshape(D, T * C), AXIS, 0, 0,
+                                   tiled=False).reshape(D, T, C)
+            votes = []
+            for t, p in enumerate(primes):
+                sb = shard_bytes[t]
+                qt = q[:, t, :].reshape(D * C)
+                qbins = qt % np.uint64(p)
                 qbyte_ix = qbins // np.uint64(8)
                 lo = (d_idx * sb).astype(jnp.uint64)
-                real = q != np.uint64(0xFFFFFFFFFFFFFFFF)
+                real = qt != SENT
                 byte = jnp.take(tables[t],
                                 jnp.where(real, qbyte_ix - lo, 0),
                                 mode="clip").astype(jnp.int32)
                 bit = jnp.int32(1) << (qbins % np.uint64(8)).astype(
                     jnp.int32)
-                absent = (real & ((byte & bit) == 0)).astype(jnp.int32)
-                back = jax.lax.all_to_all(absent.reshape(D, C), AXIS,
-                                          0, 0, tiled=False
-                                          ).reshape(D * C)
-                verdict = back.at[slot].get(mode="fill", fill_value=0)
-                missing = missing + verdict
+                votes.append((real & ((byte & bit) == 0)).astype(
+                    jnp.int8).reshape(D, C))
+            absent = jnp.stack(votes, axis=1)          # [D, T, C]
+            back = jax.lax.all_to_all(
+                absent.reshape(D, T * C), AXIS, 0, 0,
+                tiled=False).reshape(D * T * C)
+            missing = jnp.zeros(nl, jnp.int32)
+            for t in range(T):
+                missing = missing + back.at[slots[t]].get(
+                    mode="fill", fill_value=0).astype(jnp.int32)
             overflow = jax.lax.psum(over_any.astype(jnp.int32),
                                     AXIS) > 0
             return (missing == 0).astype(jnp.uint16), overflow

@@ -43,6 +43,18 @@ def _pad_to(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _route_capacity(local, D, slack):
+    """Per-destination route slots: ``slack * local/D`` with a
+    statistical floor. Destination loads are ~Binomial(local, 1/D), so
+    small batches need absolute headroom (8 sigma + 16), not just a
+    multiplier — without the floor, tiny chunks overflow on ordinary
+    hash variance and the overflow guard aborts the stream."""
+    mean = local / max(D, 1)
+    sigma = (mean * (1.0 - 1.0 / max(D, 1))) ** 0.5
+    return max(-(-int(local * slack) // D),
+               int(mean + 8.0 * sigma) + 16)
+
+
 class ShardedCountgraph:
     """Countgraph with bucket-range-sharded tables over a device mesh.
 
@@ -61,7 +73,7 @@ class ShardedCountgraph:
     hash_family = "twobit"
 
     def __init__(self, ksize, starting_size, n_tables, mesh,
-                 primes=None, route=False, route_slack=2.0):
+                 primes=None, route="auto", route_slack=1.15):
         self.mesh = mesh
         self.D = mesh.devices.size
         self._ksize = int(ksize)
@@ -72,6 +84,11 @@ class ShardedCountgraph:
         # shard boundaries: table t device d owns [d*S_t, (d+1)*S_t)
         self._shard_sizes = tuple(_pad_to(p, self.D) // self.D
                                   for p in self._primes)
+        if route == "auto":
+            # measured crossover (SCALING_r05.json): the exact layout's
+            # T-substream routing tax beats the replicated full-stream
+            # dedup from D=4 up; at D=2 gathered still wins
+            route = self.D >= 4
         self.route = bool(route) and self.D > 1
         self.route_slack = float(route_slack)
         sharding = NamedSharding(mesh, P(AXIS))
@@ -116,6 +133,7 @@ class ShardedCountgraph:
             (self.tables, self._n_unique, self._overflow,
              n_cons) = fn(self.tables, self._n_unique, self._overflow,
                           codes, starts, jnp.int32(nfill))
+            self._check_route_overflow()  # raise at the point of loss
         else:
             self.tables, self._n_unique, n_cons = fn(
                 self.tables, self._n_unique, codes, starts,
@@ -218,7 +236,7 @@ def make_sharded_consume_routed(primes, shard_sizes, k, chunk, mesh,
     T = len(primes)
     local = chunk // D
     W = chunk - k + 1
-    C = -(-int(local * slack) // D)     # per (table, src, dst) capacity
+    C = _route_capacity(local, D, slack)  # per (table, src, dst)
 
     def step(tables, n_unique, overflow, codes, starts, nfill):
         def body(tables, n_unique, overflow, codes_local, starts, nfill):
@@ -246,6 +264,7 @@ def make_sharded_consume_routed(primes, shard_sizes, k, chunk, mesh,
             send_h = jnp.zeros(D * T * C, jnp.uint64)
             send_i = jnp.full(D * T * C, jnp.int32(W))
             over_any = jnp.zeros((), bool)
+            owner_slots = []
             for t, p in enumerate(primes):
                 S = shard_sizes[t]
                 bins = local_h % np.uint64(p)
@@ -261,38 +280,55 @@ def make_sharded_consume_routed(primes, shard_sizes, k, chunk, mesh,
                 slot = jnp.where(valid & ~over,
                                  owner * (T * C) + t * C + rank,
                                  jnp.int32(D * T * C))
+                owner_slots.append(slot)
                 send_h = send_h.at[slot].set(local_h, mode="drop")
                 send_i = send_i.at[slot].set(gidx, mode="drop")
             overflow = overflow | (jax.lax.psum(
                 over_any.astype(jnp.int32), AXIS) > 0)
 
-            routed_h = jax.lax.all_to_all(
-                send_h.reshape(D, T * C), AXIS, 0, 0,
-                tiled=False).reshape(D, T, C)
-            routed_i = jax.lax.all_to_all(
-                send_i.reshape(D, T * C), AXIS, 0, 0,
-                tiled=False).reshape(D, T, C)
+            # ONE fused collective: [dst, T*C hashes | T*C idx-as-u64]
+            got = jax.lax.all_to_all(
+                jnp.concatenate(
+                    [send_h.reshape(D, T * C),
+                     send_i.astype(jnp.uint64).reshape(D, T * C)],
+                    axis=1),
+                AXIS, 0, 0, tiled=False)
+            routed_h = got[:, :T * C].reshape(D, T, C)
+            routed_i = got[:, T * C:].astype(jnp.int32).reshape(D, T, C)
 
-            credit_W = jnp.zeros(W + 1, bool)
+            # per-slot credit verdicts ride BACK over one all_to_all to
+            # their source events instead of psum-ORing a W-length vote
+            # vector (O(W) collective per device, r04's scaling tax) —
+            # an event is new iff any table credits its first toucher
             new_tables = []
+            back_votes = []
             for t, p in enumerate(primes):
                 S = shard_sizes[t]
                 lo = (d_idx * S).astype(jnp.uint64)
                 h_t = routed_h[:, t, :].reshape(D * C)
                 i_t = routed_i[:, t, :].reshape(D * C)
                 v_t = i_t < W
-                d = K._dedup_batch(h_t, v_t, idx=i_t)
+                d = K._dedup_batch(h_t, v_t, idx=i_t,
+                                   with_slot_map=True)
                 tbl, _old_u, credit_u = K._byte_table_update(
                     tables[t], p, d, lo=lo, span=S)
                 new_tables.append(tbl)
-                # credit lands at the hash's first global stream index
-                credit_W = credit_W.at[
-                    jnp.where(credit_u, d["ufirst"], jnp.int32(W))
-                ].set(True, mode="drop")
-            any_credit = jax.lax.psum(
-                credit_W[:W].astype(jnp.int32), AXIS) > 0
-            n_unique = n_unique + jnp.sum(
-                any_credit.astype(jnp.uint32)).astype(jnp.uint64)
+                seg = d["slot_seg"]
+                slot_credit = v_t & \
+                    jnp.take(credit_u, seg, mode="clip") & \
+                    (i_t == jnp.take(d["ufirst"], seg, mode="clip"))
+                back_votes.append(slot_credit.astype(jnp.int8)
+                                  .reshape(D, C))
+            back = jax.lax.all_to_all(
+                jnp.stack(back_votes, axis=1).reshape(D, T * C),
+                AXIS, 0, 0, tiled=False).reshape(D * T * C)
+            new_local = jnp.zeros(local, bool)
+            for t in range(T):
+                new_local = new_local | (back.at[owner_slots[t]].get(
+                    mode="fill", fill_value=0) > 0)
+            n_unique = n_unique + jax.lax.psum(
+                jnp.sum(new_local.astype(jnp.uint32)), AXIS
+            ).astype(jnp.uint64)
             n_cons = jax.lax.psum(
                 jnp.sum(valid.astype(jnp.uint32)), AXIS
             ).astype(jnp.uint64)
@@ -335,13 +371,18 @@ class ShardedBlockedCountgraph:
     hash_family = "twobit"
 
     def __init__(self, ksize, starting_size, n_tables, mesh,
-                 route=True, route_slack=2.0):
+                 route="auto", route_slack=1.15):
         from khmer_tpu.core import blocked as B
         from khmer_tpu.core.sketch_kernels import get_n_primes_near_x
 
         self.mesh = mesh
         self.D = mesh.devices.size
         self._ksize = int(ksize)
+        if route == "auto":
+            # measured (SCALING_r05.json): routing wins from D=2 up for
+            # the blocked layout (routing compacts to valid events, so
+            # t(D) beats even the windowed D=1 baseline)
+            route = True
         self.route = bool(route) and self.D > 1
         self.route_slack = float(route_slack)
         want = max(int(starting_size) * max(int(n_tables), 1)
@@ -482,7 +523,7 @@ def make_sharded_blocked_consume_routed(nblocks, shard, k, chunk, mesh,
     local = chunk // D
     W = chunk - k + 1
     local_W = local  # device d owns windows [d*local, d*local+local)
-    C = -(-int(local_W * slack) // D)  # capacity per (src, dst) pair
+    C = _route_capacity(local_W, D, slack)  # per (src, dst) pair
     IDX_FILL = B.IDX_FILL
 
     def step(tables, n_unique, overflow, codes, starts, nfill):
@@ -525,12 +566,14 @@ def make_sharded_blocked_consume_routed(nblocks, shard, k, chunk, mesh,
                 local_h, mode="drop")
             send_i = jnp.full(D * C, jnp.int32(IDX_FILL)).at[slot].set(
                 gidx, mode="drop")
-            routed_h = jax.lax.all_to_all(
-                send_h.reshape(D, C), AXIS, 0, 0, tiled=False
-            ).reshape(D * C)
-            routed_i = jax.lax.all_to_all(
-                send_i.reshape(D, C), AXIS, 0, 0, tiled=False
-            ).reshape(D * C)
+            # ONE fused collective: [dst, C hashes | C indices-as-u64]
+            got = jax.lax.all_to_all(
+                jnp.concatenate([send_h.reshape(D, C),
+                                 send_i.astype(jnp.uint64).reshape(D, C)],
+                                axis=1),
+                AXIS, 0, 0, tiled=False)
+            routed_h = got[:, :C].reshape(D * C)
+            routed_i = got[:, C:].astype(jnp.int32).reshape(D * C)
             mine = routed_i < IDX_FILL
             lo = (d_idx * shard).astype(jnp.int32)
             rblock = (routed_h % np.uint64(NB)).astype(jnp.int32) - lo

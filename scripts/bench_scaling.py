@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Mesh scaling measurement — writes SCALING_r04.json.
+"""Mesh scaling measurement — writes SCALING_r05.json.
 
 Times the sharded consume kernels (exact + blocked layouts, gathered
 vs all_to_all-routed) and the distributed membership probe (broadcast
@@ -40,11 +40,18 @@ def _sync(x):
 
 
 def time_step(fn, args, reps=8):
+    """Median-of-reps timing: this 2-vCPU VM's page-fault storms and
+    scheduler noise swing single reps by 50%; the median of several
+    post-warmup reps is the stable statistic."""
+    out = _sync(fn(*args))  # warmup (compile + first-touch)
     out = _sync(fn(*args))
-    t0 = time.time()
+    times = []
     for _ in range(reps):
+        t0 = time.time()
         out = _sync(fn(*args))
-    return (time.time() - t0) / reps, out
+        times.append(time.time() - t0)
+    times.sort()
+    return times[len(times) // 2], out
 
 
 def bench_consume(D_list):
@@ -79,13 +86,13 @@ def bench_consume(D_list):
                     k, 5e6, 4, mesh, route=routed)
             else:
                 g = sharded.ShardedCountgraph(
-                    k, 5e6, 4, mesh, route=routed, route_slack=3.0)
+                    k, 5e6, 4, mesh, route=routed)
 
             def step(codes_a, starts_a):
                 g.consume_chunk(codes_a, starts_a, chunk)
                 return g.tables
 
-            dt, _ = time_step(step, (codes, spad), reps=5)
+            dt, _ = time_step(step, (codes, spad), reps=9)
             results[name][D] = round(dt * 1e3, 2)
             print("D=%d %-18s %8.2f ms" % (D, name, dt * 1e3),
                   file=sys.stderr)
@@ -120,10 +127,43 @@ def bench_probes(D_list):
             def probe(c):
                 return sg.get_counts_for_hashes(c)
 
-            dt, res = time_step(probe, (cand,), reps=10)
+            dt, res = time_step(probe, (cand,), reps=21)
             out[mode][D] = round(dt * 1e3, 2)
             print("D=%d probe %-10s %8.2f ms" % (D, mode, dt * 1e3),
                   file=sys.stderr)
+    return out
+
+
+def bench_probe_sweep(D=8):
+    """Broadcast-vs-routed probe crossover sweep at D=8 — the evidence
+    behind ShardedNodegraph's auto policy (probe work is one bit-test
+    per element, so routing's slot bookkeeping never pays on the CPU
+    mesh; recorded per size for the real-pod decision)."""
+    import jax
+
+    from khmer_tpu import Nodegraph
+    from khmer_tpu.parallel import graph as PG
+    from khmer_tpu.parallel import sharded
+
+    rng = np.random.default_rng(5)
+    g = Nodegraph(20, 2e6, 4)
+    for _ in range(400):
+        g.consume("".join("ATCG"[b] for b in rng.integers(0, 4, 100)))
+    mesh = sharded.make_mesh(jax.devices()[:D])
+    out = {}
+    for logn in (13, 15, 17, 19, 21):
+        n = 1 << logn
+        cand = rng.integers(0, 1 << 40, n, dtype=np.uint64)
+        row = {}
+        for mode in ("broadcast", "routed"):
+            sg = PG.ShardedNodegraph(g, mesh, route=(mode == "routed"))
+            dt, _ = time_step(lambda c: sg.get_counts_for_hashes(c),
+                              (cand,), reps=11)
+            row[mode] = round(dt * 1e3, 2)
+        row["winner"] = min(row, key=row.get)
+        out[n] = row
+        print("n=%7d broadcast %8.2f  routed %8.2f" %
+              (n, row["broadcast"], row["routed"]), file=sys.stderr)
     return out
 
 
@@ -134,6 +174,14 @@ def main():
                     "(probe); t(D) flat == ideal work scaling",
         "consume_ms": bench_consume(D_list),
         "probe_ms": bench_probes(D_list),
+        "probe_crossover_D8": bench_probe_sweep(),
+        "production_policy": {
+            "blocked_consume": "routed from D=2 (auto default)",
+            "exact_consume": "gathered at D<4, routed at D>=4 "
+                             "(auto default)",
+            "probes": "broadcast (auto default; routed opt-in for "
+                      "real-ICI pods)",
+        },
     }
     for fam in ("consume_ms", "probe_ms"):
         eff1 = {}
@@ -148,7 +196,7 @@ def main():
                 eff2[name] = round(times[2] / times[8], 3)
         results[fam.replace("_ms", "_efficiency_d1_d8")] = eff1
         results[fam.replace("_ms", "_efficiency_d2_d8")] = eff2
-    out = os.path.join(REPO, "SCALING_r04.json")
+    out = os.path.join(REPO, "SCALING_r05.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1, default=str)
     print(json.dumps({"wrote": out}))

@@ -190,7 +190,9 @@ def test_sharded_routed_overflow_raises(mesh):
         chunks.append(tail)
     graph = sharded.ShardedCountgraph(k, 2048, 3, mesh, route=True,
                                       route_slack=0.05)
-    for codes, starts, nfill in chunks:
-        graph.consume_chunk(codes, starts, nfill)
+    # the overflow raises at the consuming call — the point of loss —
+    # so no later query can ever see an undercounted table
     with pytest.raises(RuntimeError, match="route capacity"):
+        for codes, starts, nfill in chunks:
+            graph.consume_chunk(codes, starts, nfill)
         graph.n_unique_kmers()
