@@ -812,6 +812,15 @@ long long hg_abund_dist(
     return n_sat;
 }
 
+// Min-over-tables counts for pre-hashed canonical k-mers (reference
+// storage.hh get_count semantics for each kind).
+void hg_get_counts(
+    int kind, uint8_t** tables, const uint64_t* primes, int n_tables,
+    const uint64_t* hashes, long long n, uint32_t* out) {
+    Tables T{kind, n_tables, tables, primes};
+    for (long long i = 0; i < n; i++) out[i] = table_count(T, hashes[i]);
+}
+
 // Commit an array of pre-hashed canonical k-mers (one sequential add
 // each, reference Storage::add semantics).  Returns n_new.
 long long hg_add_hashes(

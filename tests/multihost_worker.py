@@ -1,12 +1,14 @@
-"""One process of the 2-process multihost validation run.
+"""One process of the N-process multihost validation run.
 
-Launched by tests/test_multihost.py (and __graft_entry__.
-dryrun_multihost) as:
+Launched by tests/test_multihost.py (and scripts/bench_multihost.py)
+as:
 
-    python tests/multihost_worker.py <coordinator> <nprocs> <pid> <out.json>
+    python tests/multihost_worker.py <coordinator> <nprocs> <pid> \
+        <out.json> <workdir> [local_devices]
 
-Boots jax.distributed on the CPU backend (4 virtual devices per
-process -> an 8-device global mesh across 2 processes), then runs:
+Boots jax.distributed on the CPU backend (local_devices virtual
+devices per process -> one global mesh across all processes), then
+runs:
 
 1. per-host file assignment + host-tier tagged Nodegraph builds,
    merged across hosts with union_bit_tables (+ tag-set union) — the
@@ -37,33 +39,51 @@ import numpy as np
 def main():
     coordinator, nprocs, pid, outpath, workdir = sys.argv[1:6]
     nprocs, pid = int(nprocs), int(pid)
+    local_devices = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+    table_size = float(sys.argv[7]) if len(sys.argv) > 7 else 20000
+
+    import time
 
     from khmer_tpu.parallel import multihost
 
     jax = multihost.initialize(coordinator, nprocs, pid,
-                               local_device_count=4)
+                               local_device_count=local_devices)
     assert jax.process_count() == nprocs
     mesh = multihost.global_mesh()
-    assert mesh.devices.size == 4 * nprocs
+    assert mesh.devices.size == local_devices * nprocs
+    timings = {}
+
+    def log(msg):
+        print("[worker %d/%d] %s" % (pid, nprocs, msg), file=sys.stderr,
+              flush=True)
+    log("mesh up: %d devices" % mesh.devices.size)
 
     from khmer_tpu import HLLCounter, Nodegraph
     from khmer_tpu.core import pipeline
     from khmer_tpu.core.partition import SubsetPartition
     from khmer_tpu.parallel import sharded
 
-    files = [os.path.join(workdir, "part0.fa"),
-             os.path.join(workdir, "part1.fa")]
+    import glob
+
+    files = sorted(glob.glob(os.path.join(workdir, "part*.fa")))
     mine = multihost.files_for_process(files)
 
     # -- 1: per-host tagged builds, DCN union ---------------------------
-    g = Nodegraph(15, 20000, 4)
+    g = Nodegraph(15, table_size, 4)
+    t0 = time.time()
     for f in mine:
         g.consume_seqfile_and_tag(f)
-    merged_tables = multihost.union_bit_tables(mesh, g.host_view())
+    timings["local_build_s"] = time.time() - t0
+    log("built: %d tags" % len(g.all_tags))
     from jax.experimental import multihost_utils
 
+    multihost_utils.sync_global_devices("built")
+    t0 = time.time()
+    merged_tables = multihost.union_bit_tables(mesh, g.host_view())
     tag_arrays = multihost_utils.process_allgather(
         _padded_tags(g.all_tags))
+    timings["dcn_union_s"] = time.time() - t0
+    log("dcn union done")
     all_tags = set()
     for row in np.asarray(tag_arrays):
         all_tags.update(int(t) for t in row if t != 0xFFFFFFFFFFFFFFFF)
@@ -75,11 +95,15 @@ def main():
     merged.all_tags = set(all_tags)
 
     # -- 2: split the tag range across hosts, partition, pmap-merge -----
+    # (the reference's oxli/partition.py:22-45 decomposition: one tag
+    # range per worker, pmap files folded on one host)
     tags_sorted = sorted(all_tags)
-    half = len(tags_sorted) // 2
-    lo, hi = ((0, half) if pid == 0 else (half, len(tags_sorted)))
+    n_tags_total = len(tags_sorted)
+    lo = pid * n_tags_total // nprocs
+    hi = (pid + 1) * n_tags_total // nprocs
     sp = SubsetPartition(merged)
     span = tags_sorted[lo:hi]
+    t0 = time.time()
     from khmer_tpu.core import hostengine
 
     if span:
@@ -98,17 +122,21 @@ def main():
             tagged = find_all_tags_batch(merged, starts)
         for t, tk in zip(span, tagged):
             sp.assign_partition_id(t, tk)
+    timings["partition_bfs_s"] = time.time() - t0
+    log("partition bfs done")
     pmap_path = os.path.join(workdir, "subset.%d.pmap" % pid)
     sp.save_partitionmap(pmap_path)
     multihost_utils.sync_global_devices("pmaps_saved")
 
     n_partitions = n_unassigned = None
     if pid == 0:
+        t0 = time.time()
         final = SubsetPartition(merged)
         for i in range(nprocs):
             final.merge_from_disk(
                 os.path.join(workdir, "subset.%d.pmap" % i))
         n_partitions, n_unassigned = final.count_partitions()
+        timings["pmap_fold_s"] = time.time() - t0
 
     # -- 3: global-mesh sharded consume (each host ships its slice) -----
     chunk = 1 << 12
@@ -132,16 +160,30 @@ def main():
     spad = np.full(1 << 11, chunk, np.int32)
     spad[: len(allstarts)] = allstarts
 
-    sg = sharded.ShardedCountgraph(15, 20000, 4, mesh, route=True,
-                                   route_slack=4.0)
+    sg = sharded.ShardedCountgraph(15, table_size, 4, mesh,
+                                   route=True, route_slack=4.0)
+    t0 = time.time()
     multihost.global_consume(sg, codes_l, spad, chunk)
     global_unique = sg.n_unique_kmers()
+    timings["global_consume_compile_s"] = time.time() - t0
+    # warm re-run on a fresh graph: the steady-state step time (the
+    # first consume above is dominated by per-process jit compile)
+    sg2 = sharded.ShardedCountgraph(15, table_size, 4, mesh,
+                                    route=True, route_slack=4.0)
+    t0 = time.time()
+    multihost.global_consume(sg2, codes_l, spad, chunk)
+    assert sg2.n_unique_kmers() == global_unique
+    timings["global_consume_s"] = time.time() - t0
+    log("global consume done")
 
     # -- 4: HLL max-merge ------------------------------------------------
     h = HLLCounter(0.01, 15)
     for f in mine:
         h.consume_seqfile(f)
+    t0 = time.time()
     regs = multihost.max_registers(mesh, h._registers_view())
+    timings["hll_merge_s"] = time.time() - t0
+    log("hll merge done")
     h2 = HLLCounter(0.01, 15)
     h2._adopt_registers(regs)
     estimate = h2.estimate_cardinality()
@@ -158,6 +200,8 @@ def main():
                 "hll_estimate": estimate,
                 "devices": mesh.devices.size,
                 "processes": nprocs,
+                "timings": {k: round(v, 4)
+                            for k, v in timings.items()},
             }, f)
     multihost_utils.sync_global_devices("done")
 
