@@ -47,17 +47,49 @@ def _load():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    if not os.path.exists(_LIB_PATH):
+    lib = _open_lib(rebuild=not os.path.exists(_LIB_PATH))
+    if lib is None:
+        return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale prebuilt .so predating newer exports: force a rebuild
+        # once, then degrade gracefully (numpy/device fallbacks) rather
+        # than crash every host-tier entry point. The stale handle must
+        # be dlclosed first — glibc dlopen dedups by path string and
+        # would hand back the old mapping.
         try:
-            subprocess.run(["make", "-C", _SRC_DIR], check=True,
+            import _ctypes
+
+            _ctypes.dlclose(lib._handle)
+        except Exception:
+            pass
+        lib = _open_lib(rebuild=True)
+        if lib is None:
+            return None
+        try:
+            _bind(lib)
+        except AttributeError:
+            return None
+    _LIB = lib
+    return _LIB
+
+
+def _open_lib(rebuild):
+    if rebuild:
+        try:
+            subprocess.run(["make", "-B", "-C", _SRC_DIR,
+                            os.path.basename(_LIB_PATH)], check=True,
                            capture_output=True, timeout=180)
         except Exception:
             return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        return ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
 
+
+def _bind(lib):
     lib.hg_set_create.restype = ctypes.c_void_p
     lib.hg_set_create.argtypes = [ctypes.c_longlong]
     lib.hg_set_add.restype = None
@@ -177,9 +209,6 @@ def _load():
     lib.hg_hash_dense_reads.argtypes = [
         _u8p, _i64p, _i64p, ctypes.c_longlong,
         ctypes.c_int, ctypes.c_int, _u64p]
-
-    _LIB = lib
-    return _LIB
 
 
 def available():

@@ -117,28 +117,48 @@ class ShardedCountgraph:
 
     def consume_chunk(self, codes, starts, nfill):
         """Commit one flat chunk (see pipeline.FlatPacker) to the
-        sharded tables."""
-        if self.route:
-            fn = make_sharded_consume_routed(
-                self._primes, self._shard_sizes, self._ksize,
-                len(codes), self.mesh, self.route_slack)
-        else:
-            fn = make_sharded_consume(self._primes, self._shard_sizes,
-                                      self._ksize, len(codes), self.mesh)
+        sharded tables.
+
+        A chunk skewed enough to overflow the route capacity (one
+        k-mer dominating a source slice — duplicates of a hash all
+        target the same destination slots) is transparently REPLAYED
+        on the always-exact gathered path and routing is demoted for
+        the rest of the stream: never an undercount, never an abort.
+        """
         sharding = NamedSharding(self.mesh, P(AXIS))
         codes = jax.device_put(jnp.asarray(codes), sharding)
         starts = jax.device_put(jnp.asarray(starts),
                                 NamedSharding(self.mesh, P()))
         if self.route:
-            (self.tables, self._n_unique, self._overflow,
-             n_cons) = fn(self.tables, self._n_unique, self._overflow,
-                          codes, starts, jnp.int32(nfill))
-            self._check_route_overflow()  # raise at the point of loss
-        else:
-            self.tables, self._n_unique, n_cons = fn(
-                self.tables, self._n_unique, codes, starts,
-                jnp.int32(nfill))
+            fn = make_sharded_consume_routed(
+                self._primes, self._shard_sizes, self._ksize,
+                len(codes), self.mesh, self.route_slack)
+            tables, n_unique, overflow, n_cons = fn(
+                self.tables, self._n_unique, self._overflow,
+                codes, starts, jnp.int32(nfill))
+            if not bool(overflow):
+                self.tables, self._n_unique, self._overflow = \
+                    tables, n_unique, overflow
+                return int(n_cons)
+            del tables, n_unique, overflow
+            self._demote_route()
+        fn = make_sharded_consume(self._primes, self._shard_sizes,
+                                  self._ksize, len(codes), self.mesh)
+        self.tables, self._n_unique, n_cons = fn(
+            self.tables, self._n_unique, codes, starts,
+            jnp.int32(nfill))
         return int(n_cons)
+
+    def _demote_route(self):
+        import warnings
+
+        warnings.warn(
+            "all_to_all route capacity overflow (skewed k-mer "
+            "stream): chunk replayed on the gathered path and routing "
+            "disabled for the rest of this stream; raise route_slack "
+            "to keep routing on such data", RuntimeWarning,
+            stacklevel=3)
+        self.route = False
 
     def get_counts(self, hashes):
         """Min-over-tables counts for an array of hashes."""
@@ -342,7 +362,9 @@ def make_sharded_consume_routed(primes, shard_sizes, k, chunk, mesh,
             check_vma=False,
         )(tables, n_unique, overflow, codes, starts, nfill)
 
-    return jax.jit(step, donate_argnums=(0,))
+    # NOT donated: the caller keeps the pre-step tables alive so an
+    # overflowed chunk can be replayed on the gathered path
+    return jax.jit(step)
 
 
 class ShardedBlockedCountgraph:
@@ -412,18 +434,29 @@ class ShardedBlockedCountgraph:
                 "route_slack")
 
     def consume_chunk(self, codes, starts, nfill):
-        if self.route:
-            fn = make_sharded_blocked_consume_routed(
-                self.nblocks, self._shard, self._ksize, len(codes),
-                self.mesh, self.route_slack)
-        else:
-            fn = make_sharded_blocked_consume(
-                self.nblocks, self._shard, self._ksize, len(codes),
-                self.mesh)
+        """Commit one flat chunk; overflowed routed chunks replay on
+        the gathered path with routing demoted (see ShardedCountgraph
+        .consume_chunk — never an undercount, never an abort)."""
         sharding = NamedSharding(self.mesh, P(AXIS))
         codes = jax.device_put(jnp.asarray(codes), sharding)
         starts = jax.device_put(jnp.asarray(starts),
                                 NamedSharding(self.mesh, P()))
+        if self.route:
+            fn = make_sharded_blocked_consume_routed(
+                self.nblocks, self._shard, self._ksize, len(codes),
+                self.mesh, self.route_slack)
+            tables, n_unique, overflow, n_cons = fn(
+                self.tables, self._n_unique, self._overflow, codes,
+                starts, jnp.int32(nfill))
+            if not bool(overflow):
+                self.tables, self._n_unique, self._overflow = \
+                    tables, n_unique, overflow
+                return int(n_cons)
+            del tables, n_unique, overflow
+            ShardedCountgraph._demote_route(self)
+        fn = make_sharded_blocked_consume(
+            self.nblocks, self._shard, self._ksize, len(codes),
+            self.mesh)
         self.tables, self._n_unique, self._overflow, n_cons = fn(
             self.tables, self._n_unique, self._overflow, codes, starts,
             jnp.int32(nfill))
@@ -594,7 +627,9 @@ def make_sharded_blocked_consume_routed(nblocks, shard, k, chunk, mesh,
             check_vma=False,
         )(tables, n_unique, overflow, codes, starts, nfill)
 
-    return jax.jit(step, donate_argnums=(0,))
+    # NOT donated: the caller keeps the pre-step tables alive so an
+    # overflowed chunk can be replayed on the gathered path
+    return jax.jit(step)
 
 
 @functools.lru_cache(maxsize=None)

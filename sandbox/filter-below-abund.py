@@ -6,8 +6,9 @@ the working directory.
 Behavioral peer of the reference's high-abundance filter (reference
 sandbox/filter-below-abund.py:38-83): reads containing N are dropped,
 a read is kept iff its trim-below point is >= k. The reference's
-thread pool is replaced by the framework's windowed streaming — one
-batch of records per engine call, order preserved.
+thread pool is replaced by plain windowed streaming (order
+preserved); the trim predicate itself runs per record on the
+dispatched engine.
 
 usage: python sandbox/filter-below-abund.py <countgraph> <data1> [...]
 """

@@ -5,8 +5,8 @@ with probability min(1, C/m). Output lands in <infile>.medfilt.
 
 Behavioral peer of the reference's median downsampler (reference
 sandbox/filter-median.py:45-98); its thread pool is replaced by the
-framework's batched median path (one get_median_count sweep per record
-window).
+framework's batched median path — one native hg_median_counts call
+per record window (scalar fallback when the host tier is absent).
 
 usage: python sandbox/filter-median.py -C 20 <counting.ct> <data> [...]
 """
@@ -25,13 +25,25 @@ def coin(median, coverage):
     return random.randint(1, max(median, 1)) <= coverage
 
 
+def window_medians(graph, window):
+    """Median k-mer count per record — ONE native call per window
+    when the host tier is up, scalar fallback otherwise."""
+    from khmer_tpu.core import hostengine
+
+    if hostengine.use_host_for(graph, "graph"):
+        codes, starts, ends, _ = hostengine.pack_records(window)
+        med, _avg, _std = hostengine.median_counts(
+            graph, codes, starts, ends)
+        return [max(int(m), 0) for m in med]
+    return [graph.get_median_count(r.sequence)[0] for r in window]
+
+
 def downsample(graph, infile, coverage):
     target = os.path.basename(infile) + '.medfilt'
     with open(target, 'w') as out:
         for window in record_windows(infile):
-            for record in window:
-                med, _avg, _dev = graph.get_median_count(
-                    record.sequence)
+            for record, med in zip(window, window_medians(graph,
+                                                          window)):
                 if coin(med, coverage):
                     emit_fasta(out, record.name, record.sequence)
     return target

@@ -1,9 +1,13 @@
 #!/bin/bash
 # Rebuild the UNMODIFIED reference liboxli + the refbench oracle driver
-# (tests/golden/refbench.cc) into /tmp/refbuild. ~2 min. Used to
-# regenerate the BASELINE numbers and full-scale md5 goldens.
-# Rebuild the unmodified reference liboxli + refbench oracle binaries.
+# (tests/golden/refbench.cc) into $BUILD (default /tmp/refbuild). ~2
+# min. Used to regenerate the BASELINE numbers and the full-scale md5
+# goldens (tests/test_fullscale_oracles.py).
 set -e
+REPO=$(cd "$(dirname "$0")/../.." && pwd)
+BUILD=${BUILD:-/tmp/refbuild}
+mkdir -p "$BUILD"
+cd "$BUILD"
 REF=/root/reference
 INC="-I$REF/include -I$REF/third-party/seqan/core/include -I$REF/third-party/smhasher -I$REF/third-party/rollinghash -I$REF/third-party/cqf -I$REF/third-party/bzip2 -I$REF/third-party/zlib"
 FLAGS="-O3 -std=c++11 -w -DSEQAN_HAS_ZLIB=1 -DSEQAN_HAS_BZIP2=1"
@@ -19,5 +23,5 @@ wait
 for f in blocksort huffman crctable randtable compress decompress bzlib; do
   [ -f obj/bz_$f.o ] || gcc -O3 -w -c $REF/third-party/bzip2/$f.c -o obj/bz_$f.o
 done
-g++ $FLAGS $INC /root/repo/tests/golden/refbench.cc obj/*.o -o refbench -lz -lpthread
+g++ $FLAGS $INC "$REPO/tests/golden/refbench.cc" obj/*.o -o refbench -lz -lpthread
 echo built

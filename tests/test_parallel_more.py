@@ -196,8 +196,9 @@ def test_routed_consume_matches_unrouted(mesh):
 
 
 def test_routed_overflow_detected(mesh):
-    """A degenerate chunk (one k-mer repeated) must trip the route
-    capacity flag and raise, not undercount."""
+    """A degenerate chunk (one k-mer repeated) trips the route
+    capacity; the chunk replays on the gathered path (warning, route
+    demoted) and the result is exact: one unique poly-A k-mer."""
     k = 20
     chunk = 1 << 13
     g = sharded.ShardedBlockedCountgraph(k, 65536, 4, mesh, route=True,
@@ -205,9 +206,10 @@ def test_routed_overflow_detected(mesh):
     codes = np.zeros(chunk, np.uint8)          # poly-A: one k-mer
     starts = np.full(chunk // 8, chunk, np.int32)
     starts[0] = 0
-    g.consume_chunk(codes, starts, chunk)
-    with pytest.raises(RuntimeError, match="route capacity"):
-        g.n_unique_kmers()
+    with pytest.warns(RuntimeWarning, match="route capacity"):
+        g.consume_chunk(codes, starts, chunk)
+    assert g.route is False
+    assert g.n_unique_kmers() == 1
 
 
 def test_routed_scaling_work_shrinks(mesh):

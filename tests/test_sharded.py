@@ -176,9 +176,11 @@ def test_sharded_routed_exact_matches_oracle(mesh):
     assert graph.n_unique_kmers() == oracle.n_unique_kmers()
 
 
-def test_sharded_routed_overflow_raises(mesh):
+def test_sharded_routed_overflow_demotes_exactly(mesh):
     """A pathologically skewed stream (one repeated k-mer) overflows
-    the fixed route capacity and must RAISE, never undercount."""
+    the fixed route capacity; the chunk must be REPLAYED on the
+    gathered path (with a warning + routing demoted) so results stay
+    exact — never an undercount, never an abort."""
     k = 8
     chunk = 1 << 12
     packer = pipeline.FlatPacker(k, chunk=chunk)
@@ -190,9 +192,15 @@ def test_sharded_routed_overflow_raises(mesh):
         chunks.append(tail)
     graph = sharded.ShardedCountgraph(k, 2048, 3, mesh, route=True,
                                       route_slack=0.05)
-    # the overflow raises at the consuming call — the point of loss —
-    # so no later query can ever see an undercounted table
-    with pytest.raises(RuntimeError, match="route capacity"):
+    oracle = sharded.ShardedCountgraph(k, 2048, 3, mesh, route=False)
+    with pytest.warns(RuntimeWarning, match="route capacity"):
         for codes, starts, nfill in chunks:
             graph.consume_chunk(codes, starts, nfill)
-        graph.n_unique_kmers()
+    for codes, starts, nfill in chunks:
+        oracle.consume_chunk(codes, starts, nfill)
+    assert graph.route is False  # demoted for the rest of the stream
+    assert graph.n_unique_kmers() == oracle.n_unique_kmers()
+    import numpy as np
+
+    for a, b in zip(graph.tables, oracle.tables):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
