@@ -198,3 +198,18 @@ def test_dense_empty_and_short():
     g = _build("byte")
     assert pipeline.consume_seqfile(g, [Rec("ACGT"), Rec("")]) == (2, 0)
     assert int(g._n_unique) == 0
+
+
+@pytest.mark.parametrize("k", [4, 31, 32])
+@pytest.mark.parametrize("family", ["twobit", "murmur"])
+def test_dense_hash_k_edges(k, family):
+    """k edge cases: tiny k, and k=32 where the 2-bit hash fills all
+    64 bits (the C Roller's full-mask branch)."""
+    reads = _reads(11, n=60, lo=3, hi=90)
+    hasher = pipeline.DenseHasher(k, family, chunk=512, pack_chunk=2048)
+    got = []
+    for s in reads:
+        got.extend(arr[:n] for arr, n in hasher.add(s))
+    got.extend(arr[:n] for arr, n in hasher.flush())
+    got = np.concatenate(got) if got else np.zeros(0, np.uint64)
+    assert np.array_equal(got, _scalar_oracle(reads, k, family))
