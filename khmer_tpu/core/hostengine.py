@@ -960,14 +960,51 @@ class NativeTrimmer:
 
 def hll_consume(registers, p, k, source):
     """Stream a file through the native HLL ingester; returns
-    (total_reads, n_consumed).  registers is mutated in place."""
+    (total_reads, n_consumed).  registers is mutated in place.
+
+    Reads fan out over KHMER_TPU_HOST_THREADS host threads, each
+    filling a private register set (the ctypes call releases the GIL);
+    register max-merge is order-independent, so the estimate is
+    bit-identical to the sequential pass — the same property the
+    multihost DCN merge relies on (parallel/multihost.max_registers).
+    """
+    import threading
+
     lib = _load()
+    nt = n_threads()
     total_reads = 0
     n_consumed = 0
+    priv = [np.zeros_like(registers) for _ in range(nt - 1)]
     for codes, starts, ends, n in iter_packed_source(source):
         total_reads += n
-        n_consumed += int(lib.hg_hll_consume(
-            int(k), int(p), registers.ctypes.data_as(_u8p),
-            _arr(codes, _u8p), _arr(starts, _i64p), _arr(ends, _i64p),
-            n))
+        if nt == 1 or n < 2:
+            n_consumed += int(lib.hg_hll_consume(
+                int(k), int(p), registers.ctypes.data_as(_u8p),
+                _arr(codes, _u8p), _arr(starts, _i64p),
+                _arr(ends, _i64p), n))
+            continue
+        codes_p = _arr(codes, _u8p)
+        starts_c = np.ascontiguousarray(starts, dtype=np.int64)
+        ends_c = np.ascontiguousarray(ends, dtype=np.int64)
+        counts = [0] * nt
+
+        def work(t, regs):
+            lo = t * n // nt
+            hi = (t + 1) * n // nt
+            counts[t] = int(lib.hg_hll_consume(
+                int(k), int(p), regs.ctypes.data_as(_u8p), codes_p,
+                starts_c[lo:hi].ctypes.data_as(_i64p),
+                ends_c[lo:hi].ctypes.data_as(_i64p), hi - lo))
+
+        threads = [threading.Thread(target=work,
+                                    args=(t + 1, priv[t]))
+                   for t in range(nt - 1)]
+        for th in threads:
+            th.start()
+        work(0, registers)
+        for th in threads:
+            th.join()
+        n_consumed += sum(counts)
+    for regs in priv:
+        np.maximum(registers, regs, out=registers)
     return total_reads, n_consumed

@@ -10,7 +10,10 @@ and re-measured 2026-08-20):
             = 191,388 reads/s (kept 7,416; includes SeqAn parse)
   config 3  trim-low-abund 2-pass, 25k.fq.gz  : 25000 reads / 0.321 s
             = 77,882 reads/s (pass1 0.309 + pass2 0.012)
-  config 4  HLL 0.01 k=20, stamps-genomes.fa  : 0.008 s (estimate 7948)
+  config 4  HLL 0.01 k=20, stamps-genomes.fa  : 0.001 s steady state
+            (median of 7 refbench runs, re-measured 2026-08-21; the
+            8 KB input makes single cold runs pure process noise),
+            estimate 7948
   config 5  tag+partition, stamps-reads.fa.gz : tag 3.298 s +
             partition 1.970 s = 5.268 s (n_partitions 51)
   config 1  (bench.py) count 25k.fq.gz        : 1,248,896 k-mers /
@@ -41,7 +44,7 @@ REF = {
     "normalize_reads_per_sec": 191388.0,
     "normalize_kept": 7416,
     "trim_reads_per_sec": 77882.0,
-    "hll_seconds": 0.008,
+    "hll_seconds": 0.001,
     "loadgraph_tag_seconds": 3.298,   # same hot loop as config 5 tag
     "partition_seconds": 5.268,
     "partition_n": 51,
@@ -155,24 +158,37 @@ def bench_trim():
 
 
 def bench_hll():
-    """Config 4: unique-kmers (HLL) + load-graph (tagged nodegraph)."""
+    """Config 4: unique-kmers (HLL) + load-graph (tagged nodegraph).
+
+    Median-of-reps: the 8 KB input finishes in sub-millisecond steady
+    state, so single cold runs measure process noise, not the
+    pipeline (both sides' old ~8 ms numbers were exactly that)."""
     from khmer_tpu import HLLCounter, Nodegraph
 
-    h = HLLCounter(0.01, 20)
-    t0 = time.time()
-    reads, cons = h.consume_seqfile(STAMPS_GENOMES)
-    est = h.estimate_cardinality()
-    dt_h = time.time() - t0
-    t0 = time.time()
-    ng = Nodegraph(20, 2.5e7, 4)
-    ng.consume_seqfile_and_tag(STAMPS_GENOMES)
-    dt_g = time.time() - t0
+    def hll_once():
+        h = HLLCounter(0.01, 20)
+        t0 = time.time()
+        h.consume_seqfile(STAMPS_GENOMES)
+        return time.time() - t0, h.estimate_cardinality()
+
+    hll_once()
+    runs = sorted(hll_once() for _ in range(9))
+    dt_h, est = runs[4]
+
+    def graph_once():
+        t0 = time.time()
+        ng = Nodegraph(20, 2.5e7, 4)
+        ng.consume_seqfile_and_tag(STAMPS_GENOMES)
+        return time.time() - t0
+
+    graph_once()
+    dt_g = sorted(graph_once() for _ in range(5))[2]
     return {
         "config": 4,
         "metric": "unique_kmers_plus_load_graph_seconds",
-        "value": round(dt_h + dt_g, 3),
-        "hll_seconds": round(dt_h, 3),
-        "loadgraph_seconds": round(dt_g, 3),
+        "value": round(dt_h + dt_g, 4),
+        "hll_seconds": round(dt_h, 4),
+        "loadgraph_seconds": round(dt_g, 4),
         "estimate": est,
         "reference_estimate": REF["hll_estimate"],
         "exact": est == REF["hll_estimate"],
