@@ -266,17 +266,21 @@ def _update_dispatch(kind, primes, tables, n_unique, n_consumed, overflow,
 
 
 def _dense_numpy(codes, starts, nfill, k, hash_family):
-    """Numpy fallback for hostengine.hash_dense (same contract)."""
-    chunk = len(codes)
-    W = chunk - k + 1
-    if W <= 0 or nfill < k:
+    """Numpy fallback for hostengine.hash_dense (same contract).
+
+    Work is bounded at nfill: a ladder-flushed tail ships the full
+    pack-chunk buffer with a small fill, and hashing the padding
+    would dominate the call."""
+    nfill = int(nfill)
+    if nfill < k:
         return np.zeros(0, np.uint64)
-    rid = np.zeros(chunk, np.int32)
+    codes = np.asarray(codes)[:nfill]
+    W = nfill - k + 1
+    rid = np.zeros(nfill, np.int32)
     s = np.asarray(starts)
-    rid[s[s < chunk]] = 1
+    rid[s[s < nfill]] = 1
     rid = np.cumsum(rid)
-    valid = (rid[:W] == rid[k - 1:]) & \
-        (np.arange(W, dtype=np.int64) + (k - 1) < nfill)
+    valid = rid[:W] == rid[k - 1:]
     flat = (H.host_hash_windows(codes, k) if hash_family == "twobit"
             else H.host_murmur_hash_windows(codes, k))
     return flat[valid]
@@ -578,11 +582,15 @@ def _consume_seqfile(sketch, source, mask=None, threshold=0,
                      and sketch.storage_kind == "byte")
     # dense path: host hashes, device updates — zero invalid scatter
     # slots (band/mask variants keep the windowed path, whose device-
-    # side hashes feed their filters)
+    # side hashes feed their filters). KHMER_TPU_ENGINE=device keeps
+    # the windowed device-hash path so the device-tier battery
+    # (tests/device/) genuinely exercises it — host hashing IS host-
+    # tier work.
     import os as _os
 
     use_dense = (mask is None and band_interval is None
-                 and not _os.environ.get("KHMER_TPU_NO_DENSE"))
+                 and not _os.environ.get("KHMER_TPU_NO_DENSE")
+                 and _os.environ.get("KHMER_TPU_ENGINE") != "device")
     steps = {}
 
     def step_for(size):

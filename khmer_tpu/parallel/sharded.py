@@ -65,8 +65,10 @@ class ShardedCountgraph:
     replicated (SURVEY §2.9 "all-to-all route (hash->owner chip) then
     local scatter-add" — for the exact layout too, matching the
     reference's banding decomposition kmer_hash.cc:261-275). Route
-    capacity is ``slack * local/D`` per (table, src, dst) triple;
-    overflow sets a sticky flag and raises — never undercounts.
+    capacity is ``slack * local/D`` per (table, src, dst) triple with
+    a Binomial statistical floor; an overflowed chunk is replayed on
+    the gathered path and routing demotes — never an undercount,
+    never an abort.
     """
 
     storage_kind = "byte"
@@ -381,7 +383,8 @@ class ShardedBlockedCountgraph:
     over an ICI ``all_to_all`` (SURVEY §2.9: hash->owner-chip routing,
     the banding analog), so each device sorts/scatters only ~1/D of
     the stream — the per-device kernel work shrinks with the mesh. The
-    fixed route capacity is ``slack * local/D`` per (src, dst) pair;
+    fixed route capacity is ``slack * local/D`` per (src, dst) pair
+    (with a Binomial statistical floor);
     pathological skew (one k-mer dominating a chunk, e.g. homopolymer
     runs) can overflow it, which sets a sticky flag checked at stream
     end (same contract as the v2 collision overflow): the consume
@@ -542,8 +545,9 @@ def make_sharded_blocked_consume_routed(nblocks, shard, k, chunk, mesh,
     per device instead of a masked pass over the full stream
     (SURVEY §2.9 "all-to-all route (hash->owner chip) then local
     scatter-add"). Route capacity per (src, dst) pair is
-    ceil(local_W/D * slack); exceeding it sets the sticky overflow
-    flag (checked at stream end — raises, never undercounts).
+    _route_capacity(local_W, D, slack); a chunk that exceeds it is
+    REPLAYED by the caller on the gathered path with routing demoted
+    (consume_chunk) — never an undercount.
 
     Sequential-exact n_unique: the global stream index rides along
     with each event, so the owner's scatter-min first-toucher credit

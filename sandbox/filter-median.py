@@ -34,7 +34,11 @@ def window_medians(graph, window):
         codes, starts, ends, _ = hostengine.pack_records(window)
         med, _avg, _std = hostengine.median_counts(
             graph, codes, starts, ends)
-        return [max(int(m), 0) for m in med]
+        if any(m < 0 for m in med):
+            # reads shorter than k: error out exactly like the scalar
+            # tier's get_median_count (and the reference script)
+            raise ValueError("read length must be >= the k-mer size")
+        return [int(m) for m in med]
     return [graph.get_median_count(r.sequence)[0] for r in window]
 
 

@@ -228,3 +228,38 @@ def test_routed_scaling_work_shrinks(mesh):
     local = chunk // D
     C = -(-int(local * 2.0) // D)
     assert D * C < chunk // 2
+
+
+def test_routed_membership_matches_broadcast(mesh):
+    """The fused single-collective routed probe (opt-in for real-ICI
+    pods; ShardedNodegraph defaults to broadcast) must agree with the
+    broadcast path on mixed and duplicate-heavy candidate sets — the
+    rewritten [dst][table][rank] slot layout has no other guard."""
+    from khmer_tpu import Nodegraph
+    from khmer_tpu.parallel import graph as PG
+
+    rng = np.random.default_rng(23)
+    g = Nodegraph(20, 1e6, 4)
+    member_hashes = []
+    for _ in range(120):
+        seq = "".join("ATCG"[b] for b in rng.integers(0, 4, 90))
+        g.consume(seq)
+        member_hashes.append(g._hashes_for_sequence(seq))
+    members = np.unique(np.concatenate(member_hashes))
+
+    sg_b = PG.ShardedNodegraph(g, mesh, route=False)
+    sg_r = PG.ShardedNodegraph(g, mesh, route=True)
+
+    # mixed: real members + random foreigners, shuffled
+    foreign = rng.integers(0, 1 << 40, 4096, dtype=np.uint64)
+    cand = np.concatenate([members[:2048], foreign])
+    rng.shuffle(cand)
+    np.testing.assert_array_equal(sg_r.get_counts_for_hashes(cand),
+                                  sg_b.get_counts_for_hashes(cand))
+
+    # duplicate-heavy: one hash repeated hard (stresses rank/capacity;
+    # overflow falls back to broadcast inside get_counts_for_hashes)
+    dup = np.concatenate([np.full(2048, members[0], np.uint64),
+                          foreign[:2048]])
+    np.testing.assert_array_equal(sg_r.get_counts_for_hashes(dup),
+                                  sg_b.get_counts_for_hashes(dup))
