@@ -106,6 +106,15 @@ def main():
     host_pass()
     hash_s = time.time() - t0
 
+    # wake the tunnel with one trivial dispatch BEFORE the clock: the
+    # axon tunnel's first execution after process start stalls
+    # unpredictably (1 s .. 6 min, independent of the compile cache —
+    # session establishment, not our code), which would otherwise be
+    # misattributed to kernel warmup
+    t0 = time.time()
+    _ = float(jnp.zeros(8).sum())
+    wake_s = time.time() - t0
+
     # stage inputs AND initial tables on the device once — the bench
     # measures the per-chip counting rate, not the one-time tunnel
     # upload (which a production pipeline amortizes over the stream)
@@ -130,11 +139,12 @@ def main():
     assert int(n_consumed) // 2 == total_kmers  # host fetch = hard sync
     warm_s = time.time() - t0
     print("parsed %d reads, %d k-mers in %.2fs; host hash+pack pass: "
-          "%.2fs (%.3g k-mers/s); %d chunks, %.1f%% slot pad; warmup "
-          "(incl. compile): %.2fs"
+          "%.2fs (%.3g k-mers/s); %d chunks, %.1f%% slot pad; tunnel "
+          "wake: %.2fs; warmup (incl. compile): %.2fs"
           % (n_reads, total_kmers, parse_s, hash_s,
              total_kmers / hash_s, len(chunks),
-             100.0 * (total_slots - total_kmers) / total_slots, warm_s),
+             100.0 * (total_slots - total_kmers) / total_slots,
+             wake_s, warm_s),
           file=sys.stderr)
 
     reps = 50
